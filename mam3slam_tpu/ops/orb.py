@@ -1,0 +1,415 @@
+"""Batched ORB feature extraction (FAST + oriented rBRIEF), TPU-first.
+
+Replaces the reference's ``src/ORBextractor.cc`` (SURVEY.md §2.4): 8-level
+pyramid at scale 1.2, dual-threshold FAST (20/7) per spatial cell, spatial
+redistribution to a per-level budget, intensity-centroid orientation over an
+r=15 circular patch, and 256-bit rBRIEF from the standard ``bit_pattern_31``
+table (stored as data in ``mam3slam_tpu/data/orb_pattern.npy``).
+
+TPU design choices (vs the reference's per-cell scalar loops):
+* FAST is evaluated densely as a *score map* (the FAST score is the max
+  threshold at which the segment test passes, so one map serves both the
+  ini=20 and min=7 thresholds) using 16 shifted image views and rolled
+  window-mins — pure VPU elementwise work, no data-dependent control flow.
+* The octree redistribution is replaced by grid-bucket top-K with a
+  rank-in-cell penalty: every cell's best corner outranks any cell's
+  second-best, reproducing the octree's spatial spreading property
+  (SURVEY.md §7 sanctions this substitution; validated by match quality).
+* IC orientation is computed as two 31x31 moment *convolution maps*
+  (m10 = I * (x·mask), m01 = I * (y·mask)) and gathered at keypoints —
+  turning 961-pixel patch reductions into one fused conv.
+* rBRIEF samples the 7x7 sigma=2 blurred level image at integer-rounded
+  rotated pattern offsets via batched gathers; bits pack to the same
+  byte/bit order as OpenCV so descriptors are directly comparable.
+
+All shapes are static per `OrbConfig`; outputs are fixed-capacity arrays
+with validity masks (SURVEY.md §7 "capacity padding + masks").
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+from dataclasses import dataclass, field
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PATTERN_PATH = os.path.join(os.path.dirname(__file__), "..", "data",
+                             "orb_pattern.npy")
+_PATTERN = np.load(os.path.abspath(_PATTERN_PATH))  # [256, 4] int32 x1 y1 x2 y2
+
+# FAST circle of radius 3 — 16 (dx, dy) offsets in OpenCV order.
+_FAST_OFFSETS = np.array(
+    [
+        (0, 3), (1, 3), (2, 2), (3, 1), (3, 0), (3, -1), (2, -2), (1, -3),
+        (0, -3), (-1, -3), (-2, -2), (-3, -1), (-3, 0), (-3, 1), (-2, 2),
+        (-1, 3),
+    ],
+    dtype=np.int32,
+)  # (dx, dy)
+
+EDGE_THRESHOLD = 19  # reference src/ORBextractor.cc:73
+HALF_PATCH = 15      # IC orientation patch radius
+
+
+class Features(NamedTuple):
+    """Fixed-capacity ORB features for one frame; a pytree.
+
+    Replaces the keypoint/descriptor part of the reference ``Frame``
+    (``src/Frame.cc`` mono ctor).  ``xy`` is raw level-0 pixel coords,
+    ``uv`` the match-space coords (undistorted for pinhole, raw for KB8).
+    """
+
+    xy: jnp.ndarray        # [N, 2] f32
+    uv: jnp.ndarray        # [N, 2] f32
+    level: jnp.ndarray     # [N] i32
+    angle: jnp.ndarray     # [N] f32 (radians)
+    response: jnp.ndarray  # [N] f32
+    desc: jnp.ndarray      # [N, 32] uint8 (256-bit rBRIEF, OpenCV bit order)
+    valid: jnp.ndarray     # [N] bool
+
+    @property
+    def capacity(self) -> int:
+        return self.xy.shape[-2]
+
+
+@dataclass(frozen=True)
+class OrbConfig:
+    """Static extraction config (shapes/budgets resolved in Python)."""
+
+    height: int
+    width: int
+    n_features: int = 700
+    n_levels: int = 8
+    scale_factor: float = 1.2
+    ini_th: float = 20.0
+    min_th: float = 7.0
+    cell: int = 16          # spatial bucket size for top-K spreading
+    per_cell: int = 4       # candidates retained per bucket
+    level_sizes: Tuple[Tuple[int, int], ...] = field(default=None)
+    level_budgets: Tuple[int, ...] = field(default=None)
+
+    def __post_init__(self):
+        sizes = []
+        h, w = self.height, self.width
+        for lv in range(self.n_levels):
+            s = self.scale_factor ** lv
+            sizes.append((int(round(self.height / s)), int(round(self.width / s))))
+        object.__setattr__(self, "level_sizes", tuple(sizes))
+        # Geometric per-level budget, mirroring ORBextractor ctor semantics
+        # (reference src/ORBextractor.cc: mnFeaturesPerLevel).
+        f = 1.0 / self.scale_factor
+        n0 = self.n_features * (1 - f) / (1 - f ** self.n_levels)
+        budgets = []
+        acc = 0
+        for lv in range(self.n_levels - 1):
+            b = int(round(n0 * f ** lv))
+            budgets.append(b)
+            acc += b
+        budgets.append(max(self.n_features - acc, 0))
+        object.__setattr__(self, "level_budgets", tuple(budgets))
+
+    @property
+    def scales(self) -> Tuple[float, ...]:
+        return tuple(self.scale_factor ** lv for lv in range(self.n_levels))
+
+    @property
+    def capacity(self) -> int:
+        # padded total feature capacity (multiple of 128 for clean tiling)
+        n = sum(self.level_budgets)
+        return ((n + 127) // 128) * 128
+
+
+# ---------------------------------------------------------------------------
+# pyramid + blur
+# ---------------------------------------------------------------------------
+
+def compute_pyramid(img: jnp.ndarray, cfg: OrbConfig):
+    """f32 [H, W] -> tuple of per-level images (each resized from previous,
+    as the reference's ComputePyramid does)."""
+    levels = [img]
+    for lv in range(1, cfg.n_levels):
+        prev = levels[-1]
+        h, w = cfg.level_sizes[lv]
+        levels.append(jax.image.resize(prev, (h, w), method="bilinear"))
+    return tuple(levels)
+
+
+def _gaussian_kernel_1d(ksize: int = 7, sigma: float = 2.0) -> np.ndarray:
+    r = ksize // 2
+    x = np.arange(-r, r + 1, dtype=np.float64)
+    k = np.exp(-(x * x) / (2 * sigma * sigma))
+    return (k / k.sum()).astype(np.float32)
+
+
+def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0):
+    """Separable Gaussian blur with reflect-101 border (matches the
+    reference's cv::GaussianBlur(7,7,2,2,BORDER_REFLECT_101))."""
+    k = jnp.asarray(_gaussian_kernel_1d(ksize, sigma))
+    r = ksize // 2
+    x = jnp.pad(img, ((r, r), (0, 0)), mode="reflect")
+    x = jax.lax.conv_general_dilated(
+        x[None, None], k[None, None, :, None], (1, 1), "VALID",
+        preferred_element_type=jnp.float32)[0, 0]
+    x = jnp.pad(x, ((0, 0), (r, r)), mode="reflect")
+    x = jax.lax.conv_general_dilated(
+        x[None, None], k[None, None, None, :], (1, 1), "VALID",
+        preferred_element_type=jnp.float32)[0, 0]
+    return x
+
+
+# ---------------------------------------------------------------------------
+# FAST score map
+# ---------------------------------------------------------------------------
+
+def fast_score_map(img: jnp.ndarray) -> jnp.ndarray:
+    """Dense FAST-9/16 corner score (max passing threshold), [H, W] f32.
+
+    score(p) = max over bright/dark polarity and over the 16 circular arc
+    start positions of the minimum contiguous-9 difference.  A pixel is an
+    OpenCV FAST corner at threshold t iff score > t, so one map serves the
+    reference's dual-threshold scheme (iniThFAST=20 / minThFAST=7).
+    """
+    pad = jnp.pad(img, 3, mode="edge")
+    h, w = img.shape
+    shifted = jnp.stack(
+        [pad[3 + dy: 3 + dy + h, 3 + dx: 3 + dx + w]
+         for dx, dy in _FAST_OFFSETS],
+        axis=0,
+    )  # [16, H, W]
+    diffs = shifted - img[None]
+
+    def arc_min(d):
+        wm = d
+        for k in range(1, 9):
+            wm = jnp.minimum(wm, jnp.roll(d, -k, axis=0))
+        return jnp.max(wm, axis=0)  # max over arc starts
+
+    score_dark = arc_min(-diffs)   # center brighter than arc
+    score_bright = arc_min(diffs)  # center darker than arc
+    return jnp.maximum(score_bright, score_dark)
+
+
+def _nms3(score: jnp.ndarray) -> jnp.ndarray:
+    """3x3 non-max suppression mask (strictly greater than 8-neighborhood,
+    ties broken toward the raster-first pixel via epsilon on index)."""
+    p = jnp.pad(score, 1, mode="constant", constant_values=-jnp.inf)
+    h, w = score.shape
+    neigh = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            neigh.append(p[1 + dy: 1 + dy + h, 1 + dx: 1 + dx + w])
+    m = jnp.stack(neigh, 0).max(axis=0)
+    return score >= m
+
+
+# ---------------------------------------------------------------------------
+# per-level keypoint selection (grid-bucket top-K)
+# ---------------------------------------------------------------------------
+
+def _select_level_keypoints(score: jnp.ndarray, cfg: OrbConfig, budget: int):
+    """Pick `budget` spatially-spread corners from a level score map.
+
+    Returns (xy_i32 [budget, 2] (x, y), response [budget], valid [budget]).
+    """
+    h, w = score.shape
+    border = EDGE_THRESHOLD - 3  # match reference detection border (=16)
+    ys = jnp.arange(h)
+    xs = jnp.arange(w)
+    in_border = ((ys[:, None] >= border) & (ys[:, None] < h - border)
+                 & (xs[None, :] >= border) & (xs[None, :] < w - border))
+    nms = _nms3(score)
+    eligible = in_border & nms & (score > cfg.min_th)
+    s = jnp.where(eligible, score, -jnp.inf)
+
+    cell = cfg.cell
+    hc, wc = -(-h // cell), -(-w // cell)
+    s_pad = jnp.pad(s, ((0, hc * cell - h), (0, wc * cell - w)),
+                    constant_values=-jnp.inf)
+    buckets = s_pad.reshape(hc, cell, wc, cell).transpose(0, 2, 1, 3)
+    buckets = buckets.reshape(hc * wc, cell * cell)
+    k = min(cfg.per_cell, cell * cell)
+    top_v, top_i = jax.lax.top_k(buckets, k)  # [ncells, k]
+
+    # global pixel coords of candidates
+    cy = jnp.arange(hc * wc) // wc
+    cx = jnp.arange(hc * wc) % wc
+    iy = top_i // cell
+    ix = top_i % cell
+    gy = cy[:, None] * cell + iy
+    gx = cx[:, None] * cell + ix
+
+    # Priority: rank-in-cell dominates (octree-style spreading), then the
+    # strong-threshold class (iniThFAST), then raw score.
+    rank = jnp.broadcast_to(jnp.arange(k)[None, :], top_v.shape)
+    strong = (top_v > cfg.ini_th).astype(jnp.float32)
+    prio = jnp.where(jnp.isfinite(top_v),
+                     -rank.astype(jnp.float32) * 1e6 + strong * 1e3 + top_v,
+                     -jnp.inf)
+
+    flat_prio = prio.reshape(-1)
+    nsel = min(budget, flat_prio.shape[0])
+    sel_p, sel_idx = jax.lax.top_k(flat_prio, nsel)
+    sel_x = gx.reshape(-1)[sel_idx]
+    sel_y = gy.reshape(-1)[sel_idx]
+    sel_v = top_v.reshape(-1)[sel_idx]
+    valid = jnp.isfinite(sel_p)
+    if nsel < budget:  # tiny levels: pad up
+        padn = budget - nsel
+        sel_x = jnp.pad(sel_x, (0, padn))
+        sel_y = jnp.pad(sel_y, (0, padn))
+        sel_v = jnp.pad(sel_v, (0, padn))
+        valid = jnp.pad(valid, (0, padn))
+    xy = jnp.stack([sel_x, sel_y], axis=-1).astype(jnp.int32)
+    return xy, jnp.where(valid, sel_v, 0.0), valid
+
+
+# ---------------------------------------------------------------------------
+# orientation (intensity centroid via moment conv maps)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _ic_kernels():
+    r = HALF_PATCH
+    ys, xs = np.mgrid[-r: r + 1, -r: r + 1]
+    # circular mask identical to the reference's umax table (u_max per row of
+    # the r=15 patch, src/ORBextractor.cc:83-95): |(x,y)| <= r with the
+    # OpenCV rounding convention.
+    umax = np.zeros(r + 1, dtype=np.int64)
+    vmax = int(np.floor(r * np.sqrt(2.0) / 2 + 1))
+    vmin = int(np.ceil(r * np.sqrt(2.0) / 2))
+    for v in range(vmax + 1):
+        umax[v] = int(round(np.sqrt(r * r - v * v)))
+    v0 = 0
+    for v in range(r, vmin - 1, -1):
+        while umax[v0] == umax[v0 + 1]:
+            v0 += 1
+        umax[v] = v0
+        v0 += 1
+    mask = np.abs(xs) <= umax[np.abs(ys)]
+    kx = (xs * mask).astype(np.float32)
+    ky = (ys * mask).astype(np.float32)
+    return jnp.asarray(kx), jnp.asarray(ky)
+
+
+def orientation_maps(img: jnp.ndarray):
+    """m10/m01 moment maps over the circular r=15 patch; gathering these at a
+    keypoint gives its IC angle (reference IC_Angle, src/ORBextractor.cc:76)."""
+    kx, ky = _ic_kernels()
+    x = img[None, None]
+    m10 = jax.lax.conv_general_dilated(
+        x, kx[None, None], (1, 1), [(HALF_PATCH, HALF_PATCH)] * 2,
+        preferred_element_type=jnp.float32)[0, 0]
+    m01 = jax.lax.conv_general_dilated(
+        x, ky[None, None], (1, 1), [(HALF_PATCH, HALF_PATCH)] * 2,
+        preferred_element_type=jnp.float32)[0, 0]
+    return m10, m01
+
+
+# ---------------------------------------------------------------------------
+# rBRIEF descriptors
+# ---------------------------------------------------------------------------
+
+def brief_descriptors(img_blur: jnp.ndarray, xy: jnp.ndarray,
+                      angle: jnp.ndarray) -> jnp.ndarray:
+    """256-bit rBRIEF at integer keypoints with per-keypoint rotation.
+
+    img_blur: [H, W] blurred level image; xy: [N, 2] int32 (x, y) level
+    coords; angle: [N] radians.  Returns [N, 32] uint8 in OpenCV bit order
+    (bit k of byte j compares pattern pair 8j+k).
+    """
+    h, w = img_blur.shape
+    pat = jnp.asarray(_PATTERN, jnp.float32)  # [256, 4]
+    pa = pat[:, 0:2]  # x1, y1
+    pb = pat[:, 2:4]
+    ca, sa = jnp.cos(angle), jnp.sin(angle)  # [N]
+
+    def rot(p):  # [256, 2] -> [N, 256, 2] rotated integer offsets
+        px, py = p[:, 0], p[:, 1]
+        rx = jnp.round(px[None, :] * ca[:, None] - py[None, :] * sa[:, None])
+        ry = jnp.round(px[None, :] * sa[:, None] + py[None, :] * ca[:, None])
+        return rx.astype(jnp.int32), ry.astype(jnp.int32)
+
+    def sample(rx, ry):
+        gx = jnp.clip(xy[:, 0:1] + rx, 0, w - 1)
+        gy = jnp.clip(xy[:, 1:2] + ry, 0, h - 1)
+        return img_blur[gy, gx]  # [N, 256]
+
+    va = sample(*rot(pa))
+    vb = sample(*rot(pb))
+    bits = (va < vb).astype(jnp.uint8)  # [N, 256]
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+    return jnp.sum(bits.reshape(-1, 32, 8) * weights[None, None, :], axis=-1,
+                   dtype=jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# full extraction
+# ---------------------------------------------------------------------------
+
+def extract_orb(img: jnp.ndarray, cfg: OrbConfig) -> Features:
+    """Full ORB extraction for one grayscale f32 [H, W] image (0..255).
+
+    Equivalent of ``ORBextractor::operator()`` (reference
+    ``src/ORBextractor.cc:1086-1168``): per-level detect + orient + describe,
+    keypoint coords rescaled to level 0.  jit-able; wrap with vmap for the
+    multi-agent batched front end.
+    """
+    pyr = compute_pyramid(img, cfg)
+    per_level = []
+    for lv in range(cfg.n_levels):
+        im = pyr[lv]
+        budget = cfg.level_budgets[lv]
+        if budget == 0:
+            continue
+        score = fast_score_map(im)
+        xy_i, resp, valid = _select_level_keypoints(score, cfg, budget)
+        m10, m01 = orientation_maps(im)
+        ang = jnp.arctan2(m01[xy_i[:, 1], xy_i[:, 0]],
+                          m10[xy_i[:, 1], xy_i[:, 0]])
+        # Round the blurred image to the integer grid: camera images are
+        # uint8, and rounding makes descriptors bit-exact with OpenCV ORB
+        # (ties in pattern-pair comparisons resolve identically).
+        blur = jnp.round(gaussian_blur(im))
+        desc = brief_descriptors(blur, xy_i, ang)
+        scale = cfg.scales[lv]
+        xy0 = xy_i.astype(jnp.float32) * scale
+        per_level.append(
+            (xy0, jnp.full((budget,), lv, jnp.int32), ang, resp, desc, valid))
+
+    xy = jnp.concatenate([p[0] for p in per_level], axis=0)
+    level = jnp.concatenate([p[1] for p in per_level], axis=0)
+    ang = jnp.concatenate([p[2] for p in per_level], axis=0)
+    resp = jnp.concatenate([p[3] for p in per_level], axis=0)
+    desc = jnp.concatenate([p[4] for p in per_level], axis=0)
+    valid = jnp.concatenate([p[5] for p in per_level], axis=0)
+
+    # pad to static capacity
+    n = xy.shape[0]
+    padn = cfg.capacity - n
+    if padn > 0:
+        xy = jnp.pad(xy, ((0, padn), (0, 0)))
+        level = jnp.pad(level, (0, padn))
+        ang = jnp.pad(ang, (0, padn))
+        resp = jnp.pad(resp, (0, padn))
+        desc = jnp.pad(desc, ((0, padn), (0, 0)))
+        valid = jnp.pad(valid, (0, padn))
+
+    return Features(xy=xy, uv=xy, level=level, angle=ang, response=resp,
+                    desc=desc, valid=valid)
+
+
+def with_undistorted(feats: Features, cam) -> Features:
+    """Fill the uv (match-space) coords: undistorted for pinhole; raw for
+    KB8 (reference keeps mvKeysUn == mvKeys for fisheye)."""
+    from mam3slam_tpu.geometry import cameras as _cam
+
+    if cam.kind == _cam.PINHOLE:
+        return feats._replace(uv=_cam.undistort_points(cam, feats.xy))
+    return feats._replace(uv=feats.xy)
