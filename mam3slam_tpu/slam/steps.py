@@ -1,0 +1,328 @@
+"""Jitted per-frame SLAM steps: local-map tracking, triangulation, fuse, BA.
+
+These are the device-side building blocks of the Tracking / LocalMapping
+threads of the reference (SURVEY.md §2.2, call stacks §3.2-3.3), re-expressed
+as pure fixed-shape functions over the SoA ``MapState``:
+
+* ``project_into_frame``      — MapPoint::isInFrustum + PredictScale batched
+  over the whole point arena (reference Tracking::SearchLocalPoints loop).
+* ``match_map_to_frame``      — ORBmatcher::SearchByProjection(Frame, vMPs)
+  as one dense masked Hamming problem.
+* ``track_pose``              — Optimizer::PoseOptimization on the matches.
+* ``triangulate_with_neighbor``— LocalMapping::CreateNewMapPoints for one
+  (new KF, neighbor KF) pair: epipolar-constrained matching of un-matched
+  features, DLT triangulation, parallax/depth/reprojection/scale gates.
+* ``fuse_into_kf``            — ORBmatcher::Fuse projection fusion.
+* ``build_local_ba_problem`` / ``apply_ba_result`` — windowed LBA wiring.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mam3slam_tpu.geometry import cameras as cam_mod
+from mam3slam_tpu.geometry import lie
+from mam3slam_tpu.mapstate import state as S
+from mam3slam_tpu.ops import matching as M
+from mam3slam_tpu.solvers import ba as ba_mod
+from mam3slam_tpu.solvers import twoview
+
+
+class FrameObs(NamedTuple):
+    """Per-frame feature data in match space (undistorted)."""
+
+    uv: jnp.ndarray      # [F, 2]
+    level: jnp.ndarray   # [F] i32
+    angle: jnp.ndarray   # [F] f32
+    desc: jnp.ndarray    # [F, 32] u8
+    valid: jnp.ndarray   # [F] bool
+
+
+# ---------------------------------------------------------------------------
+# frustum / scale prediction
+# ---------------------------------------------------------------------------
+
+def project_into_frame(ms: S.MapState, q, t, cam: cam_mod.Camera,
+                       width: float, height: float, mp_mask,
+                       scale_factors, view_cos_limit: float = 0.5):
+    """Batched isInFrustum: project every masked map point into the frame.
+
+    Returns (uv [P, 2], pred_level [P], visible [P], dist [P]).
+    """
+    Xc = lie.quat_rotate(q[None, :], ms.mp_pos) + t[None, :]
+    uv = cam_mod.project_ideal(cam, Xc)
+    depth_ok = Xc[:, 2] > 0.05
+    in_img = ((uv[:, 0] >= 0) & (uv[:, 0] < width)
+              & (uv[:, 1] >= 0) & (uv[:, 1] < height))
+    C = -lie.quat_rotate(lie.quat_conj(q), t)  # camera center (world)
+    vec = ms.mp_pos - C[None, :]
+    dist = jnp.linalg.norm(vec, axis=-1)
+    dist_ok = (dist >= 0.8 * ms.mp_min_dist) & (dist <= 1.2 * ms.mp_max_dist)
+    view_cos = jnp.sum(vec * ms.mp_normal, axis=-1) / jnp.maximum(dist, 1e-9)
+    angle_ok = view_cos > view_cos_limit
+    # PredictScale: level = ceil(log(max_dist / dist) / log(scale))
+    n_levels = scale_factors.shape[0]
+    ratio = ms.mp_max_dist / jnp.maximum(dist, 1e-9)
+    level = jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9))
+                     / jnp.log(scale_factors[1])).astype(jnp.int32)
+    level = jnp.clip(level, 0, n_levels - 1)
+    visible = mp_mask & ms.mp_valid & depth_ok & in_img & dist_ok & angle_ok
+    return uv, level, visible, view_cos
+
+
+def match_map_to_frame(ms: S.MapState, frame: FrameObs, q, t,
+                       cam: cam_mod.Camera, width, height, mp_mask,
+                       scale_factors, th_radius: float = 1.0,
+                       max_dist: int = M.TH_HIGH, ratio: float = 0.8):
+    """SearchByProjection of (masked) map points into a frame.
+
+    Returns (feat_mp [F] i32 assignment, n_matches, visible_mask [P]).
+    """
+    uv_p, lvl_p, visible, view_cos = project_into_frame(
+        ms, q, t, cam, width, height, mp_mask, scale_factors)
+    # reference radius: 2.5 px if viewing angle close, else 4.0, x scale
+    base_r = jnp.where(view_cos > 0.998, 2.5, 4.0)
+    radius = th_radius * base_r * scale_factors[lvl_p]
+
+    bits_mp = M.unpack_desc(ms.mp_desc)
+    bits_f = M.unpack_desc(frame.desc)
+    res = M.search_by_projection_frame(
+        uv_p, lvl_p, radius, bits_mp, visible,
+        frame.uv, frame.level, bits_f, frame.valid,
+        max_dist=max_dist, ratio=ratio)
+    # invert: per-feature map point
+    F = frame.uv.shape[0]
+    P = ms.mp_pos.shape[0]
+    feat_mp = jnp.full((F,), S.NO_MP, jnp.int32)
+    feat_mp = feat_mp.at[jnp.where(res.ok, res.idx, F - 1)].set(
+        jnp.where(res.ok, jnp.arange(P, dtype=jnp.int32), feat_mp[
+            jnp.where(res.ok, res.idx, F - 1)]))
+    n = jnp.sum(res.ok.astype(jnp.int32))
+    return feat_mp, n, visible
+
+
+def track_pose(ms: S.MapState, frame: FrameObs, feat_mp, q0, t0,
+               cam: cam_mod.Camera, inv_sigma2):
+    """PoseOptimization over the current frame<->map matches.
+
+    Returns (q, t, feat_inlier [F] bool, n_inliers).
+    """
+    has = feat_mp >= 0
+    mp = jnp.clip(feat_mp, 0)
+    pts = ms.mp_pos[mp]
+    w = inv_sigma2[frame.level]
+    res = ba_mod.pose_optimization(
+        q0, t0, cam.params, cam.kind, pts, frame.uv, w,
+        has & frame.valid & ms.mp_valid[mp])
+    return res.q, res.t, res.inlier, res.n_inliers
+
+
+# ---------------------------------------------------------------------------
+# triangulation (LocalMapping::CreateNewMapPoints, one neighbor pair)
+# ---------------------------------------------------------------------------
+
+def _fundamental_from_poses(q1, t1, q2, t2, K1, K2):
+    """F12 with x2^T F12 x1 = 0 for cams (T_cw1) and (T_cw2)."""
+    R1 = lie.quat_to_matrix(q1)
+    R2 = lie.quat_to_matrix(q2)
+    R12 = R2 @ R1.T                       # cam1 -> cam2
+    t12 = t2 - R12 @ t1
+    E = lie.hat(t12) @ R12                # x2c^T E x1c = 0
+    return jnp.linalg.inv(K2).T @ E @ jnp.linalg.inv(K1)
+
+
+def triangulate_with_neighbor(ms: S.MapState, kf1, kf2,
+                              cam: cam_mod.Camera, sigma2_per_level,
+                              min_parallax_cos: float = 0.9998):
+    """Match un-associated features of kf1 against kf2 along the epipolar
+    line, triangulate, and gate (depth, parallax, chi2 reprojection in both
+    views, scale consistency).  Returns a candidate batch:
+    (ok [F], pos [F, 3], feat1 [F], feat2 [F]).
+    """
+    F = ms.kf_feat_uv.shape[1]
+    uv1 = ms.kf_feat_uv[kf1]
+    uv2 = ms.kf_feat_uv[kf2]
+    free1 = ms.kf_feat_valid[kf1] & (ms.kf_feat_mp[kf1] < 0)
+    free2 = ms.kf_feat_valid[kf2] & (ms.kf_feat_mp[kf2] < 0)
+    q1, t1 = ms.kf_q[kf1], ms.kf_t[kf1]
+    q2, t2 = ms.kf_q[kf2], ms.kf_t[kf2]
+    K = cam.K()
+    F12 = _fundamental_from_poses(q1, t1, q2, t2, K, K)
+
+    bits1 = M.unpack_desc(ms.kf_feat_desc[kf1])
+    bits2 = M.unpack_desc(ms.kf_feat_desc[kf2])
+    res = M.search_for_triangulation(
+        uv1, bits1, ms.kf_feat_level[kf1], free1,
+        uv2, bits2, ms.kf_feat_level[kf2], free2,
+        F12, sigma2_per_level)
+
+    idx2 = jnp.clip(res.idx, 0)
+    R1 = lie.quat_to_matrix(q1)
+    R2 = lie.quat_to_matrix(q2)
+    P1 = K @ jnp.concatenate([R1, t1[:, None]], axis=1)
+    P2 = K @ jnp.concatenate([R2, t2[:, None]], axis=1)
+    X = twoview.triangulate_dlt(
+        jnp.broadcast_to(P1, (F, 3, 4)), jnp.broadcast_to(P2, (F, 3, 4)),
+        uv1, uv2[idx2])
+
+    # gates (reference CreateNewMapPoints :504-828)
+    C1 = -R1.T @ t1
+    C2 = -R2.T @ t2
+    r1 = X - C1
+    r2 = X - C2
+    d1 = jnp.linalg.norm(r1, axis=-1)
+    d2 = jnp.linalg.norm(r2, axis=-1)
+    cos_par = jnp.sum(r1 * r2, axis=-1) / jnp.maximum(d1 * d2, 1e-9)
+
+    Xc1 = X @ R1.T + t1
+    Xc2 = X @ R2.T + t2
+    z_ok = (Xc1[:, 2] > 1e-3) & (Xc2[:, 2] > 1e-3)
+
+    pr1 = cam_mod.project_ideal(cam, Xc1)
+    pr2 = cam_mod.project_ideal(cam, Xc2)
+    s1 = sigma2_per_level[ms.kf_feat_level[kf1]]
+    s2 = sigma2_per_level[ms.kf_feat_level[kf2][idx2]]
+    e1 = jnp.sum((pr1 - uv1) ** 2, axis=-1)
+    e2 = jnp.sum((pr2 - uv2[idx2]) ** 2, axis=-1)
+    reproj_ok = (e1 < 5.991 * s1) & (e2 < 5.991 * s2)
+
+    # scale consistency: ratio of distances vs ratio of octave scales
+    ratio_dist = d2 / jnp.maximum(d1, 1e-9)
+    sf = jnp.sqrt(sigma2_per_level[1])  # per-level factor
+    ratio_octave = (jnp.sqrt(sigma2_per_level)[ms.kf_feat_level[kf1]]
+                    / jnp.sqrt(sigma2_per_level)[
+                        ms.kf_feat_level[kf2][idx2]])
+    scale_ok = ((ratio_dist * 1.5 * sf > ratio_octave)
+                & (ratio_dist < ratio_octave * 1.5 * sf))
+
+    finite = jnp.all(jnp.isfinite(X), axis=-1)
+    ok = (res.ok & z_ok & reproj_ok & scale_ok & finite
+          & (cos_par < min_parallax_cos) & (cos_par > 0.0))
+    return ok, jnp.where(finite[:, None], X, 0.0), \
+        jnp.arange(F, dtype=jnp.int32), idx2
+
+
+def add_triangulated_points(ms: S.MapState, kf1, kf2, ok, X, feat1, feat2,
+                            map_id) -> S.MapState:
+    """Allocate slots for a triangulated batch and wire observations in
+    both keyframes."""
+    slots = S.alloc_mp_slots(ms, ok)
+    P = ms.mp_valid.shape[0]
+    w = jnp.where(ok, slots, P - 1)
+    ms = ms._replace(
+        mp_pos=ms.mp_pos.at[w].set(jnp.where(ok[:, None], X, ms.mp_pos[w])),
+        mp_valid=ms.mp_valid.at[w].set(
+            jnp.where(ok, True, ms.mp_valid[w])),
+        mp_map=ms.mp_map.at[w].set(jnp.where(ok, map_id, ms.mp_map[w])),
+        mp_first_kf=ms.mp_first_kf.at[w].set(
+            jnp.where(ok, kf1, ms.mp_first_kf[w])),
+        mp_ref_kf=ms.mp_ref_kf.at[w].set(
+            jnp.where(ok, kf1, ms.mp_ref_kf[w])),
+        mp_found=ms.mp_found.at[w].set(jnp.where(ok, 1.0, ms.mp_found[w])),
+        mp_visible=ms.mp_visible.at[w].set(
+            jnp.where(ok, 1.0, ms.mp_visible[w])),
+        mp_nobs=ms.mp_nobs.at[w].set(jnp.where(ok, 0, ms.mp_nobs[w])),
+    )
+    F = feat1.shape[0]
+    ms = S.mp_add_observation(ms, slots, jnp.full((F,), kf1, jnp.int32),
+                              feat1, ok)
+    ms = S.mp_add_observation(ms, slots, jnp.full((F,), kf2, jnp.int32),
+                              feat2, ok)
+    return ms
+
+
+# ---------------------------------------------------------------------------
+# fuse (ORBmatcher::Fuse)
+# ---------------------------------------------------------------------------
+
+def fuse_into_kf(ms: S.MapState, kf, mp_mask, cam: cam_mod.Camera,
+                 width, height, scale_factors, max_dist: int = M.TH_LOW):
+    """Project masked map points into keyframe `kf`; where the best match
+    feature already has a point, mark (src=new, dst=existing) replacement
+    pairs; where free, add the observation.
+
+    Returns (ms, n_fused).  Reference keeps the point with more
+    observations; we keep the existing (older) point — both resolve the
+    duplicate; observation counts then concentrate on the survivor.
+    """
+    frame = FrameObs(uv=ms.kf_feat_uv[kf], level=ms.kf_feat_level[kf],
+                     angle=ms.kf_feat_angle[kf], desc=ms.kf_feat_desc[kf],
+                     valid=ms.kf_feat_valid[kf])
+    q, t = ms.kf_q[kf], ms.kf_t[kf]
+    uv_p, lvl_p, visible, _ = project_into_frame(
+        ms, q, t, cam, width, height, mp_mask, scale_factors)
+    radius = 3.0 * scale_factors[lvl_p]
+    res = M.search_by_projection_frame(
+        uv_p, lvl_p, radius, M.unpack_desc(ms.mp_desc), visible,
+        frame.uv, frame.level, M.unpack_desc(frame.desc), frame.valid,
+        max_dist=max_dist)
+    # don't fuse a point into its own observation slot
+    cur_mp_at_feat = ms.kf_feat_mp[kf][jnp.clip(res.idx, 0)]
+    P = ms.mp_pos.shape[0]
+    self_match = cur_mp_at_feat == jnp.arange(P)
+    ok = res.ok & ~self_match
+
+    occupied = cur_mp_at_feat >= 0
+    # case 1: feature already has a point -> replace src(=this mp) by dst
+    rep_ok = ok & occupied & ms.mp_valid[jnp.clip(cur_mp_at_feat, 0)]
+    ms = S.replace_map_points(ms, jnp.arange(P, dtype=jnp.int32),
+                              jnp.clip(cur_mp_at_feat, 0), rep_ok)
+    # case 2: free feature -> new observation
+    add_ok = ok & ~occupied
+    ms = S.mp_add_observation(
+        ms, jnp.arange(P, dtype=jnp.int32),
+        jnp.full((P,), kf, jnp.int32), jnp.clip(res.idx, 0), add_ok)
+    return ms, jnp.sum(ok.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# local BA wiring
+# ---------------------------------------------------------------------------
+
+def build_local_ba_problem(ms: S.MapState, opt_kf_mask, cam: cam_mod.Camera,
+                           inv_sigma2):
+    """Assemble a BAProblem over the full arenas with masks:
+    cameras in ``opt_kf_mask`` free, all other observing KFs fixed;
+    points observed by the window free.
+
+    Edge list = every (kf, feat) with an mp link where kf participates.
+    Shapes stay static ([K*F] edges) — masks do the selection.
+    """
+    K, F = ms.kf_feat_mp.shape
+    fmp = ms.kf_feat_mp
+    pt_free = jnp.zeros((ms.mp_valid.shape[0],), bool).at[
+        jnp.clip(fmp, 0).reshape(-1)].max(
+        ((fmp >= 0) & opt_kf_mask[:, None]).reshape(-1))
+    pt_free = pt_free & ms.mp_valid
+
+    obs_kf_idx = jnp.repeat(jnp.arange(K, dtype=jnp.int32), F)
+    obs_feat = jnp.tile(jnp.arange(F, dtype=jnp.int32), K)
+    obs_mp = fmp.reshape(-1)
+    edge_pt_free = pt_free[jnp.clip(obs_mp, 0)]
+    obs_valid = ((obs_mp >= 0) & ms.kf_valid[obs_kf_idx]
+                 & ms.mp_valid[jnp.clip(obs_mp, 0)]
+                 & (opt_kf_mask[obs_kf_idx] | edge_pt_free))
+    uv = ms.kf_feat_uv.reshape(-1, 2)
+    w = inv_sigma2[ms.kf_feat_level.reshape(-1)]
+
+    cam_free = opt_kf_mask & ms.kf_valid
+    # fixed anchors: any valid KF observing a free point but not in window
+    obs = ba_mod.Obs(cam=obs_kf_idx, pt=jnp.clip(obs_mp, 0), uv=uv, w=w,
+                     valid=obs_valid)
+    prob = ba_mod.BAProblem(
+        cam_q=ms.kf_q, cam_t=ms.kf_t,
+        cam_params=jnp.broadcast_to(cam.params, (K, 8)),
+        pts=ms.mp_pos, obs=obs, cam_free=cam_free, pt_free=pt_free)
+    return prob
+
+
+def apply_ba_result(ms: S.MapState, res: ba_mod.BAResult, opt_kf_mask,
+                    pt_free) -> S.MapState:
+    return ms._replace(
+        kf_q=jnp.where(opt_kf_mask[:, None], res.cam_q, ms.kf_q),
+        kf_t=jnp.where(opt_kf_mask[:, None], res.cam_t, ms.kf_t),
+        mp_pos=jnp.where(pt_free[:, None], res.pts, ms.mp_pos),
+    )

@@ -1,0 +1,541 @@
+"""SLAM system orchestration: tracking state machine + local mapping.
+
+Host-side equivalent of the reference's per-agent Tracking/LocalMapping
+threads (SURVEY.md §2.2, §3.2-3.3) around the jitted steps in ``steps.py``.
+The reference decouples the two with queues + mutexes; here each tracked
+frame runs the tracking step, and keyframe insertion synchronously runs the
+mapping step (triangulate / fuse / local BA / cull) — an epoched pipeline
+over one functional ``MapState`` (SURVEY.md §2.6 table: queues -> epochs).
+Multi-agent: every agent shares the same MapState arena; the centralized
+server (place recognition / loop closing / merging) consumes keyframes from
+all agents (slam/server.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mam3slam_tpu.geometry import cameras as cam_mod
+from mam3slam_tpu.geometry import lie
+from mam3slam_tpu.mapstate import state as S
+from mam3slam_tpu.ops import matching as M
+from mam3slam_tpu.slam import steps
+from mam3slam_tpu.solvers import ba as ba_mod
+from mam3slam_tpu.solvers import twoview
+
+NO_IMAGES_YET = 0
+NOT_INITIALIZED = 1
+OK = 2
+RECENTLY_LOST = 3
+LOST = 4
+
+
+@dataclass(frozen=True)
+class SlamConfig:
+    width: int
+    height: int
+    cam_kind: int = cam_mod.PINHOLE
+    n_levels: int = 8
+    scale_factor: float = 1.2
+    max_kf: int = 512
+    max_mp: int = 24576
+    n_feat: int = 768
+    max_obs: int = 16
+    # tracking thresholds (reference Tracking.cc)
+    min_init_matches: int = 100
+    motion_search_radius: float = 15.0
+    min_motion_matches: int = 20
+    min_track_inliers: int = 30
+    min_track_inliers_lost: int = 10
+    kf_max_interval: int = 20        # frames (c1a analog)
+    kf_min_interval: int = 3
+    kf_ref_ratio: float = 0.9
+    recently_lost_frames: int = 60
+    # mapping
+    n_triangulate_neighbors: int = 8
+    lba_window: int = 16
+    lba_iters: int = 8
+    lba_cg_iters: int = 30
+
+    @property
+    def scale_factors(self):
+        return np.array([self.scale_factor ** i
+                         for i in range(self.n_levels)], np.float32)
+
+    @property
+    def inv_sigma2(self):
+        return (1.0 / self.scale_factors ** 2).astype(np.float32)
+
+    @property
+    def sigma2(self):
+        return (self.scale_factors ** 2).astype(np.float32)
+
+    def map_config(self) -> S.MapConfig:
+        return S.MapConfig(max_kf=self.max_kf, max_mp=self.max_mp,
+                           n_feat=self.n_feat, max_obs=self.max_obs,
+                           n_levels=self.n_levels,
+                           scale_factor=self.scale_factor)
+
+
+# --------------------------------------------------------------------------
+# jitted composite steps (module-level, cached by (config, camera) closure)
+# --------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _compiled(cfg: SlamConfig, kind: int):
+    """Build jitted step functions closed over static config."""
+    sf = jnp.asarray(cfg.scale_factors)
+    is2 = jnp.asarray(cfg.inv_sigma2)
+    s2 = jnp.asarray(cfg.sigma2)
+    W, H = float(cfg.width), float(cfg.height)
+
+    @jax.jit
+    def match_and_pose(ms, frame, q0, t0, cam_params, mp_mask, th_radius,
+                       max_dist, ratio):
+        cam = cam_mod.Camera(cam_params, kind)
+        feat_mp, n, visible = steps.match_map_to_frame(
+            ms, frame, q0, t0, cam, W, H, mp_mask, sf,
+            th_radius=th_radius, max_dist=max_dist, ratio=ratio)
+        q, t, inlier, n_in = steps.track_pose(ms, frame, feat_mp, q0, t0,
+                                              cam, is2)
+        return feat_mp, n, q, t, inlier, n_in, visible
+
+    @functools.partial(jax.jit, static_argnames=("n_local",))
+    def local_mp_mask(ms, ref_kf, n_local):
+        """Union of map points observed by the top covis KFs of ref_kf
+        plus ref_kf itself (Tracking::UpdateLocalMap approximation:
+        covisibility neighborhood of the reference keyframe)."""
+        idx, w, ok = S.best_covisible(ms, ref_kf, n_local)
+        kf_sel = jnp.zeros((ms.kf_valid.shape[0],), bool).at[
+            jnp.where(ok, idx, ref_kf)].set(True).at[ref_kf].set(True)
+        fmp = ms.kf_feat_mp
+        P = ms.mp_valid.shape[0]
+        mask = jnp.zeros((P,), bool).at[
+            jnp.clip(fmp, 0).reshape(-1)].max(
+            ((fmp >= 0) & kf_sel[:, None]).reshape(-1))
+        return mask & ms.mp_valid
+
+    @jax.jit
+    def update_found_visible(ms, feat_mp, inlier, visible):
+        P = ms.mp_valid.shape[0]
+        mp = jnp.clip(feat_mp, 0)
+        found_add = jnp.zeros((P,), jnp.float32).at[mp].add(
+            jnp.where((feat_mp >= 0) & inlier, 1.0, 0.0))
+        vis_add = visible.astype(jnp.float32) + (found_add > 0)
+        return ms._replace(mp_found=ms.mp_found + found_add,
+                           mp_visible=ms.mp_visible + jnp.minimum(vis_add, 1.0))
+
+    @jax.jit
+    def init_match(frame1, frame2):
+        bits1 = M.unpack_desc(frame1.desc)
+        bits2 = M.unpack_desc(frame2.desc)
+        return M.search_for_initialization(
+            frame1.uv, bits1, frame1.angle, frame1.valid,
+            frame2.uv, bits2, frame2.angle, frame2.valid,
+            window=100.0, ratio=0.9)
+
+    @jax.jit
+    def reconstruct(uv1, uv2, valid, Kmat, key):
+        return twoview.reconstruct_two_views(uv1, uv2, valid, Kmat, key)
+
+    @jax.jit
+    def triangulate_step(ms, kf1, kf2, cam_params, map_id):
+        cam = cam_mod.Camera(cam_params, kind)
+        ok, X, f1, f2 = steps.triangulate_with_neighbor(ms, kf1, kf2, cam, s2)
+        n_before = jnp.sum(ms.mp_valid)
+        ms = steps.add_triangulated_points(ms, kf1, kf2, ok, X, f1, f2,
+                                           map_id)
+        ms = S.update_covis_for_kf(ms, kf1)
+        return ms, jnp.sum(ok.astype(jnp.int32))
+
+    @jax.jit
+    def fuse_step(ms, kf, mp_mask, cam_params):
+        cam = cam_mod.Camera(cam_params, kind)
+        ms, n = steps.fuse_into_kf(ms, kf, mp_mask, cam, W, H, sf)
+        ms = S.rebuild_reverse_obs(ms)
+        ms = S.update_covis_for_kf(ms, kf)
+        return ms, n
+
+    @jax.jit
+    def refresh_stats(ms, mp_mask):
+        return S.refresh_mp_stats(ms, mp_mask, sf)
+
+    @jax.jit
+    def local_ba(ms, center_kf, cam_params):
+        idx, w, ok = S.best_covisible(ms, center_kf, cfg.lba_window)
+        opt_mask = jnp.zeros((ms.kf_valid.shape[0],), bool).at[
+            jnp.where(ok, idx, center_kf)].set(True).at[center_kf].set(True)
+        opt_mask = opt_mask & ms.kf_valid
+        # keep the map origin fixed (reference fixes KF 0 / first KFs)
+        opt_mask = opt_mask.at[0].set(False).at[1].set(False)
+        cam = cam_mod.Camera(cam_params, kind)
+        prob = steps.build_local_ba_problem(ms, opt_mask, cam, is2)
+        res = ba_mod.run_ba(prob, kind, iters=cfg.lba_iters,
+                            cg_iters=cfg.lba_cg_iters)
+        res2 = ba_mod.run_ba(
+            prob._replace(cam_q=res.cam_q, cam_t=res.cam_t, pts=res.pts),
+            kind, iters=4, cg_iters=cfg.lba_cg_iters,
+            edge_mask=res.inlier, robust=False)
+        ms = steps.apply_ba_result(ms, res2, opt_mask, prob.pt_free)
+        # drop observations whose edges were classified outliers
+        E_kf = prob.obs.cam
+        E_ft = jnp.tile(jnp.arange(ms.kf_feat_mp.shape[1], dtype=jnp.int32),
+                        ms.kf_feat_mp.shape[0])
+        drop = prob.obs.valid & ~res2.inlier
+        fmp = ms.kf_feat_mp.at[
+            jnp.where(drop, E_kf, 0), jnp.where(drop, E_ft, 0)].set(
+            jnp.where(drop, S.NO_MP,
+                      ms.kf_feat_mp[jnp.where(drop, E_kf, 0),
+                                    jnp.where(drop, E_ft, 0)]))
+        ms = ms._replace(kf_feat_mp=fmp)
+        ms = S.rebuild_reverse_obs(ms)
+        return ms
+
+    @jax.jit
+    def cull_map_points(ms, current_kf):
+        """MapPointCulling: weak found/visible ratio, or failed to gain
+        observations shortly after creation (agent-recency windows)."""
+        ratio = ms.mp_found / jnp.maximum(ms.mp_visible, 1.0)
+        age = current_kf - ms.mp_first_kf  # in KF slots (monotonic)
+        young_dead = (age >= 2) & (age <= 4) & (ms.mp_nobs <= 2)
+        weak = (ratio < 0.25) & (ms.mp_visible >= 4)
+        kill = ms.mp_valid & (weak | young_dead)
+        return S.remove_map_points(ms, kill), jnp.sum(kill.astype(jnp.int32))
+
+    @jax.jit
+    def create_initial_map(ms, frame1, frame2, q2, t2, mp_src_feat1,
+                           mp_src_feat2, mp_ok, X, cam_params, map_id):
+        """Two keyframes + triangulated points + wiring (reference
+        Tracking::CreateInitialMapMonocular)."""
+        F = frame1.uv.shape[0]
+        ms, kf1 = S.add_keyframe(
+            ms, lie.quat_identity(), jnp.zeros(3), 0, map_id, 0.0, 0,
+            frame1.uv, frame1.level, frame1.angle, frame1.desc,
+            frame1.valid, jnp.full((F,), S.NO_MP, jnp.int32))
+        ms, kf2 = S.add_keyframe(
+            ms, q2, t2, 0, map_id, 0.0, 1,
+            frame2.uv, frame2.level, frame2.angle, frame2.desc,
+            frame2.valid, jnp.full((F,), S.NO_MP, jnp.int32))
+        ms = steps.add_triangulated_points(ms, kf1, kf2, mp_ok, X,
+                                           mp_src_feat1, mp_src_feat2,
+                                           map_id)
+        ms = S.update_covis_for_kf(ms, kf2)
+        ms = S.update_covis_for_kf(ms, kf1)
+        ms = S.refresh_mp_stats(ms, ms.mp_valid, sf)
+        ms = ms._replace(map_valid=ms.map_valid.at[map_id].set(True))
+        return ms, kf1, kf2
+
+    @jax.jit
+    def initial_gba_and_rescale(ms, cam_params):
+        """20-iteration full BA on the 2-KF map then inverse-median-depth
+        normalization (reference :2498-2531)."""
+        cam = cam_mod.Camera(cam_params, kind)
+        opt_mask = ms.kf_valid.at[0].set(False)  # fix first KF only
+        prob = steps.build_local_ba_problem(ms, opt_mask, cam, is2)
+        res = ba_mod.run_ba(prob, kind, iters=20, cg_iters=20)
+        ms = steps.apply_ba_result(ms, res, opt_mask, prob.pt_free)
+        # median depth in KF1 frame
+        Xc = lie.quat_rotate(ms.kf_q[0][None], ms.mp_pos) + ms.kf_t[0][None]
+        depths = jnp.where(ms.mp_valid, Xc[:, 2], jnp.nan)
+        med = jnp.nanmedian(depths)
+        inv = 1.0 / jnp.maximum(med, 1e-6)
+        ms = ms._replace(
+            mp_pos=jnp.where(ms.mp_valid[:, None], ms.mp_pos * inv,
+                             ms.mp_pos),
+            kf_t=jnp.where(ms.kf_valid[:, None], ms.kf_t * inv, ms.kf_t),
+            # scale-invariance distance bounds scale with the map
+            mp_min_dist=ms.mp_min_dist * inv,
+            mp_max_dist=ms.mp_max_dist * inv)
+        ms = S.refresh_mp_stats(ms, ms.mp_valid, sf)
+        ok = (med > 1e-3) & (jnp.sum(ms.mp_valid) > 50)
+        return ms, ok
+
+    @jax.jit
+    def add_kf_step(ms, frame, q, t, feat_mp, agent, map_id, ts,
+                    agent_kf_id):
+        ms, kf = S.add_keyframe(ms, q, t, agent, map_id, ts, agent_kf_id,
+                                frame.uv, frame.level, frame.angle,
+                                frame.desc, frame.valid, feat_mp)
+        ms = S.refresh_mp_stats(
+            ms, jnp.zeros((ms.mp_valid.shape[0],), bool).at[
+                jnp.clip(feat_mp, 0)].set(feat_mp >= 0), sf)
+        return ms, kf
+
+    return dict(match_and_pose=match_and_pose, local_mp_mask=local_mp_mask,
+                update_found_visible=update_found_visible,
+                init_match=init_match, reconstruct=reconstruct,
+                triangulate_step=triangulate_step, fuse_step=fuse_step,
+                refresh_stats=refresh_stats, local_ba=local_ba,
+                cull_map_points=cull_map_points,
+                create_initial_map=create_initial_map,
+                initial_gba_and_rescale=initial_gba_and_rescale,
+                add_kf_step=add_kf_step)
+
+
+@dataclass
+class AgentState:
+    """Per-agent tracking state (reference Agent + Tracking fields)."""
+
+    agent_id: int
+    cam: cam_mod.Camera
+    state: int = NO_IMAGES_YET
+    map_id: int = 0
+    q: Optional[jnp.ndarray] = None       # current T_cw
+    t: Optional[jnp.ndarray] = None
+    vel_q: Optional[jnp.ndarray] = None   # constant-velocity model
+    vel_t: Optional[jnp.ndarray] = None
+    last_frame: Optional[steps.FrameObs] = None
+    last_feat_mp: Optional[jnp.ndarray] = None
+    init_frame: Optional[steps.FrameObs] = None
+    ref_kf: int = -1
+    ref_kf_tracked: int = 0
+    frames_since_kf: int = 0
+    kf_insertions_refused: int = 0
+    next_agent_kf_id: int = 0
+    frames_lost: int = 0
+    trajectory: List = field(default_factory=list)  # (ts, ref_kf, q_rel, t_rel, state)
+    times_ms: List = field(default_factory=list)
+
+
+class SlamSystem:
+    """Single-host system: shared MapState + N agents (MultiAgentSystem)."""
+
+    def __init__(self, cfg: SlamConfig, cam: cam_mod.Camera, seed: int = 0):
+        self.cfg = cfg
+        self.ms = S.init_map_state(cfg.map_config())
+        self.cam = cam
+        self.fns = _compiled(cfg, cfg.cam_kind)
+        self.agents: List[AgentState] = []
+        self.key = jax.random.PRNGKey(seed)
+        self.events: List[str] = []
+        self.next_map_id = 0
+
+    def add_agent(self) -> int:
+        a = AgentState(agent_id=len(self.agents), cam=self.cam)
+        a.map_id = self.next_map_id
+        self.next_map_id += 1
+        self.agents.append(a)
+        return a.agent_id
+
+    # ------------------------------------------------------------------
+    def track(self, agent_id: int, frame: steps.FrameObs, ts: float):
+        """Process one frame for one agent; returns (state, T_cw or None).
+
+        The reference's Tracking::Track state machine (src/Tracking.cc:1803).
+        """
+        import time
+        t0 = time.perf_counter()
+        a = self.agents[agent_id]
+        if a.state in (NO_IMAGES_YET, NOT_INITIALIZED):
+            self._monocular_initialization(a, frame, ts)
+        else:
+            self._track_frame(a, frame, ts)
+        a.last_frame = frame
+        a.times_ms.append((time.perf_counter() - t0) * 1e3)
+        if a.q is not None:
+            self._record_trajectory(a, ts)
+        return a.state, (a.q, a.t) if a.q is not None else None
+
+    # ------------------------------------------------------------------
+    def _monocular_initialization(self, a: AgentState, frame, ts):
+        cfg = self.cfg
+        if a.init_frame is None or a.state == NO_IMAGES_YET:
+            a.init_frame = frame
+            a.state = NOT_INITIALIZED
+            return
+        res = self.fns["init_match"](a.init_frame, frame)
+        n = int(res.ok.sum())
+        if n < cfg.min_init_matches:
+            a.init_frame = frame  # re-anchor (reference resets initializer)
+            return
+        # compact matched pairs: row i of frame1 matched to idx[i] of frame2
+        uv1 = a.init_frame.uv
+        uv2 = frame.uv[jnp.clip(res.idx, 0)]
+        self.key, sub = jax.random.split(self.key)
+        Kmat = self.cam.K()
+        rec = self.fns["reconstruct"](uv1, uv2, res.ok, Kmat, sub)
+        if not bool(rec.ok):
+            return
+        q2 = lie.quat_from_matrix(rec.R21)
+        t2 = rec.t21
+        ms, kf1, kf2 = self.fns["create_initial_map"](
+            self.ms, a.init_frame, frame, q2, t2,
+            jnp.arange(cfg.n_feat, dtype=jnp.int32),
+            jnp.clip(res.idx, 0), rec.is_triangulated & res.ok,
+            rec.points3d, self.cam.params, a.map_id)
+        ms, ok = self.fns["initial_gba_and_rescale"](ms, self.cam.params)
+        if not bool(ok):
+            return
+        self.ms = ms
+        a.state = OK
+        a.ref_kf = int(kf2)
+        a.q = self.ms.kf_q[a.ref_kf]
+        a.t = self.ms.kf_t[a.ref_kf]
+        a.last_feat_mp = np.asarray(self.ms.kf_feat_mp[int(kf2)])
+        a.vel_q, a.vel_t = None, None
+        a.next_agent_kf_id = 2
+        a.frames_since_kf = 0
+        a.ref_kf_tracked = int((self.ms.kf_feat_mp[int(kf2)] >= 0).sum())
+        self.events.append(f"INIT agent={a.agent_id} map={a.map_id} "
+                           f"kfs=({int(kf1)},{int(kf2)}) "
+                           f"mps={int(self.ms.mp_valid.sum())}")
+
+    # ------------------------------------------------------------------
+    def _track_frame(self, a: AgentState, frame, ts):
+        cfg = self.cfg
+        # constant velocity prediction
+        if a.vel_q is not None:
+            q_pred = lie.quat_normalize(lie.quat_mul(a.vel_q, a.q))
+            t_pred = lie.quat_rotate(a.vel_q, a.t) + a.vel_t
+        else:
+            q_pred, t_pred = a.q, a.t
+
+        local_mask = self.fns["local_mp_mask"](
+            self.ms, jnp.asarray(a.ref_kf), 32)
+
+        # --- motion-model / coarse stage: wider radius, matched points only
+        feat_mp, n_m, q, t, inlier, n_in, visible = self.fns[
+            "match_and_pose"](self.ms, frame, q_pred, t_pred,
+                              self.cam.params, local_mask,
+                              jnp.asarray(3.0), M.TH_HIGH, jnp.asarray(0.9))
+        n_in_i = int(n_in)
+        if n_in_i < cfg.min_track_inliers_lost:
+            # widen search (reference widens 2x then falls back to BoW
+            # reference-KF tracking)
+            feat_mp, n_m, q, t, inlier, n_in, visible = self.fns[
+                "match_and_pose"](self.ms, frame, q_pred, t_pred,
+                                  self.cam.params, local_mask,
+                                  jnp.asarray(6.0), M.TH_HIGH,
+                                  jnp.asarray(0.9))
+            n_in_i = int(n_in)
+
+        # --- track local map: refine with tighter radius from refined pose
+        feat_mp2, n_m2, q2, t2, inlier2, n_in2, visible2 = self.fns[
+            "match_and_pose"](self.ms, frame, q, t, self.cam.params,
+                              local_mask, jnp.asarray(1.0), M.TH_HIGH,
+                              jnp.asarray(0.8))
+        n_in2_i = int(n_in2)
+        if n_in2_i >= n_in_i:
+            feat_mp, q, t, inlier, n_in_i = feat_mp2, q2, t2, inlier2, n_in2_i
+            visible = visible2
+
+        self.ms = self.fns["update_found_visible"](self.ms, feat_mp, inlier,
+                                                   visible)
+
+        threshold = (cfg.min_track_inliers if a.state == OK
+                     else cfg.min_track_inliers_lost)
+        if n_in_i < threshold:
+            if a.state == OK:
+                a.state = RECENTLY_LOST
+                a.frames_lost = 0
+            else:
+                a.frames_lost += 1
+                if a.frames_lost > cfg.recently_lost_frames:
+                    a.state = LOST
+            # keep predicted pose; velocity unchanged
+            a.q, a.t = q_pred, t_pred
+            a.frames_since_kf += 1
+            return
+
+        # success
+        if a.state == RECENTLY_LOST:
+            a.state = OK
+        # velocity = T_cur * inv(T_last)
+        if a.q is not None:
+            inv_last = lie.se3_inverse(lie.SE3(a.q, a.t))
+            v = lie.se3_compose(lie.SE3(q, t), inv_last)
+            a.vel_q, a.vel_t = v.q, v.t
+        a.q, a.t = q, t
+        a.last_feat_mp = feat_mp
+        a.frames_since_kf += 1
+
+        if self._need_new_keyframe(a, n_in_i):
+            self._create_keyframe(a, frame, feat_mp, inlier, ts)
+
+    # ------------------------------------------------------------------
+    def _need_new_keyframe(self, a: AgentState, n_in: int) -> bool:
+        """Reference NeedNewKeyFrame (:2962) simplified to its mono core:
+        interval bounds + tracked-vs-reference ratio."""
+        cfg = self.cfg
+        if a.state != OK:
+            return False
+        ref = max(a.ref_kf_tracked, 1)
+        c1 = a.frames_since_kf >= cfg.kf_max_interval
+        c2 = (a.frames_since_kf >= cfg.kf_min_interval
+              and n_in < cfg.kf_ref_ratio * ref)
+        return (c1 or c2) and n_in > 15
+
+    def _create_keyframe(self, a: AgentState, frame, feat_mp, inlier, ts):
+        cfg = self.cfg
+        feat_mp_in = jnp.where(inlier, feat_mp, S.NO_MP)
+        ms, kf = self.fns["add_kf_step"](
+            self.ms, frame, a.q, a.t, feat_mp_in, a.agent_id, a.map_id, ts,
+            a.next_agent_kf_id)
+        kf = int(kf)
+        self.ms = ms
+        a.next_agent_kf_id += 1
+        a.frames_since_kf = 0
+        a.ref_kf = kf
+        a.ref_kf_tracked = int((np.asarray(feat_mp_in) >= 0).sum())
+        self._local_mapping(a, kf)
+
+    # ------------------------------------------------------------------
+    def _local_mapping(self, a: AgentState, kf: int):
+        """LocalMapping::Run body for one keyframe (reference §3.3)."""
+        cfg = self.cfg
+        ms = self.ms
+        # map point culling
+        ms, n_culled = self.fns["cull_map_points"](ms, jnp.asarray(kf))
+        # triangulate with top covisible neighbors
+        idx, w, ok = S.best_covisible(ms, jnp.asarray(kf),
+                                      cfg.n_triangulate_neighbors)
+        idx_np, ok_np = np.asarray(idx), np.asarray(ok)
+        n_new = 0
+        for j in range(cfg.n_triangulate_neighbors):
+            if not ok_np[j]:
+                continue
+            ms, n = self.fns["triangulate_step"](
+                ms, jnp.asarray(kf), jnp.asarray(int(idx_np[j])),
+                self.cam.params, jnp.asarray(a.map_id))
+            n_new += int(n)
+        ms = self.fns["refresh_stats"](ms, ms.mp_valid)
+        # fuse with neighborhood map points
+        local_mask = self.fns["local_mp_mask"](ms, jnp.asarray(kf), 16)
+        ms, n_fused = self.fns["fuse_step"](ms, jnp.asarray(kf), local_mask,
+                                            self.cam.params)
+        ms = self.fns["refresh_stats"](ms, ms.mp_valid)
+        # local BA
+        if int(ms.n_kf) > 2:
+            ms = self.fns["local_ba"](ms, jnp.asarray(kf), self.cam.params)
+        self.ms = ms
+
+    # ------------------------------------------------------------------
+    def _record_trajectory(self, a: AgentState, ts):
+        """Store pose relative to the reference KF (reference
+        Tracking :2189-2221) so later map corrections propagate for free."""
+        ref = a.ref_kf
+        T_ref = lie.SE3(self.ms.kf_q[ref], self.ms.kf_t[ref])
+        T_cur = lie.SE3(a.q, a.t)
+        T_rel = lie.se3_compose(T_cur, lie.se3_inverse(T_ref))
+        a.trajectory.append((ts, ref, np.asarray(T_rel.q),
+                             np.asarray(T_rel.t), a.state))
+
+    def trajectory_world(self, agent_id: int):
+        """Reconstruct camera-to-world trajectory (TUM convention: Twc)."""
+        a = self.agents[agent_id]
+        out = []
+        kf_q = np.asarray(self.ms.kf_q)
+        kf_t = np.asarray(self.ms.kf_t)
+        for ts, ref, q_rel, t_rel, state in a.trajectory:
+            T_ref = lie.SE3(jnp.asarray(kf_q[ref]), jnp.asarray(kf_t[ref]))
+            T_cw = lie.se3_compose(lie.SE3(jnp.asarray(q_rel),
+                                           jnp.asarray(t_rel)), T_ref)
+            T_wc = lie.se3_inverse(T_cw)
+            out.append((ts, np.asarray(T_wc.q), np.asarray(T_wc.t), state))
+        return out
