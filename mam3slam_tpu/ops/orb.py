@@ -295,13 +295,14 @@ def _ic_kernels():
     mask = np.abs(xs) <= umax[np.abs(ys)]
     kx = (xs * mask).astype(np.float32)
     ky = (ys * mask).astype(np.float32)
-    return jnp.asarray(kx), jnp.asarray(ky)
+    return kx, ky  # numpy (safe to lru_cache; converted at trace time)
 
 
 def orientation_maps(img: jnp.ndarray):
     """m10/m01 moment maps over the circular r=15 patch; gathering these at a
     keypoint gives its IC angle (reference IC_Angle, src/ORBextractor.cc:76)."""
-    kx, ky = _ic_kernels()
+    kx_np, ky_np = _ic_kernels()
+    kx, ky = jnp.asarray(kx_np), jnp.asarray(ky_np)
     x = img[None, None]
     m10 = jax.lax.conv_general_dilated(
         x, kx[None, None], (1, 1), [(HALF_PATCH, HALF_PATCH)] * 2,

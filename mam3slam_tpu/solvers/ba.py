@@ -90,8 +90,16 @@ def _huber_w(chi2: jnp.ndarray, delta2: float) -> jnp.ndarray:
                      jnp.sqrt(delta2 / jnp.maximum(chi2, 1e-12)))
 
 
-def _segsum(vals: jnp.ndarray, idx: jnp.ndarray, n: int) -> jnp.ndarray:
-    return jnp.zeros((n,) + vals.shape[1:], vals.dtype).at[idx].add(vals)
+def _segsum(vals: jnp.ndarray, idx: jnp.ndarray, n: int,
+            axis_name=None) -> jnp.ndarray:
+    """Segment-sum of per-edge values into vertex arrays.  Under shard_map
+    with edges sharded along `axis_name`, the partial sums are psum-reduced
+    so every device holds the full vertex arrays (the ICI collective of the
+    distributed BA — SURVEY.md §2.6/§2.8 'Schur-block parallelism')."""
+    out = jnp.zeros((n,) + vals.shape[1:], vals.dtype).at[idx].add(vals)
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
+    return out
 
 
 def _spd_inv3(A: jnp.ndarray, damp: float = 1e-8) -> jnp.ndarray:
@@ -105,7 +113,7 @@ def _spd_inv6(A: jnp.ndarray, damp: float = 1e-8) -> jnp.ndarray:
 
 
 def ba_cost_and_inliers(problem: BAProblem, kind: int,
-                        chi2_th: float = CHI2_MONO):
+                        chi2_th: float = CHI2_MONO, axis_name=None):
     """Robust cost + chi2 inlier classification at the current estimate."""
     r, _, _, depth_ok = _edge_linearize(
         problem.cam_q, problem.cam_t, problem.cam_params, kind,
@@ -116,13 +124,15 @@ def ba_cost_and_inliers(problem: BAProblem, kind: int,
     rho = jnp.where(chi2 <= d2, chi2,
                     2.0 * jnp.sqrt(d2 * jnp.maximum(chi2, 1e-12)) - d2)
     cost = jnp.sum(jnp.where(active, rho, 0.0))
+    if axis_name is not None:
+        cost = jax.lax.psum(cost, axis_name)
     inlier = active & (chi2 < chi2_th)
     return cost, inlier
 
 
 def _lm_iteration(problem: BAProblem, kind: int, lam: jnp.ndarray,
                   edge_mask: jnp.ndarray, huber_delta2: float,
-                  cg_iters: int, robust: bool):
+                  cg_iters: int, robust: bool, axis_name=None):
     """One LM step: linearize, Schur-PCG for camera step, point back-subst.
     Returns (new_q, new_t, new_pts, predicted_ok) — caller accepts/rejects."""
     K = problem.cam_q.shape[0]
@@ -144,12 +154,12 @@ def _lm_iteration(problem: BAProblem, kind: int, lam: jnp.ndarray,
     wJp = Jp * w[:, None, None]
 
     # gradient blocks g = J^T W r
-    g_c = _segsum(jnp.einsum("eij,ei->ej", wJc, r), obs.cam, K)   # [K, 6]
-    g_p = _segsum(jnp.einsum("eij,ei->ej", wJp, r), obs.pt, P)    # [P, 3]
+    g_c = _segsum(jnp.einsum("eij,ei->ej", wJc, r), obs.cam, K, axis_name)   # [K, 6]
+    g_p = _segsum(jnp.einsum("eij,ei->ej", wJp, r), obs.pt, P, axis_name)    # [P, 3]
 
     # Hessian blocks
-    Hcc = _segsum(jnp.einsum("eik,eij->ekj", wJc, Jc), obs.cam, K)  # [K,6,6]
-    Hpp = _segsum(jnp.einsum("eik,eij->ekj", wJp, Jp), obs.pt, P)   # [P,3,3]
+    Hcc = _segsum(jnp.einsum("eik,eij->ekj", wJc, Jc), obs.cam, K, axis_name)  # [K,6,6]
+    Hpp = _segsum(jnp.einsum("eik,eij->ekj", wJp, Jp), obs.pt, P, axis_name)   # [P,3,3]
     W_e = jnp.einsum("eik,eij->ekj", wJc, Jp)                        # [E,6,3]
 
     # LM damping (additive, scaled by diagonal as in g2o's Levenberg)
@@ -168,19 +178,20 @@ def _lm_iteration(problem: BAProblem, kind: int, lam: jnp.ndarray,
     # --- matrix-free Schur operator  S v = Hcc_l v - W Hpp_inv W^T v
     def S_mv(v):  # v: [K, 6]
         u = jnp.einsum("ekj,ek->ej", W_e, v[obs.cam])        # [E, 3] W^T v
-        y = _segsum(u, obs.pt, P)                            # [P, 3]
+        y = _segsum(u, obs.pt, P, axis_name)                 # [P, 3]
         z = jnp.einsum("pij,pj->pi", Hpp_inv, y)             # [P, 3]
         back = jnp.einsum("ekj,ej->ek", W_e, z[obs.pt])      # [E, 6] W z
         return (jnp.einsum("kij,kj->ki", Hcc_l, v)
-                - _segsum(back, obs.cam, K))
+                - _segsum(back, obs.cam, K, axis_name))
 
     # reduced RHS: b = -g_c + W Hpp_inv g_p
     z0 = jnp.einsum("pij,pj->pi", Hpp_inv, g_p)
-    b = -g_c + _segsum(jnp.einsum("ekj,ej->ek", W_e, z0[obs.pt]), obs.cam, K)
+    b = -g_c + _segsum(jnp.einsum("ekj,ej->ek", W_e, z0[obs.pt]),
+                       obs.cam, K, axis_name)
 
     # block-Jacobi preconditioner of S
     WHW = jnp.einsum("eik,ekl,ejl->eij", W_e, Hpp_inv[obs.pt], W_e)
-    S_diag = Hcc_l - _segsum(WHW, obs.cam, K)
+    S_diag = Hcc_l - _segsum(WHW, obs.cam, K, axis_name)
     M_inv = _spd_inv6(S_diag)
 
     def precond(v):
@@ -211,7 +222,7 @@ def _lm_iteration(problem: BAProblem, kind: int, lam: jnp.ndarray,
 
     # point back-substitution: dp = Hpp_inv (-g_p - W^T dx_c)
     u = jnp.einsum("ekj,ek->ej", W_e, dx_c[obs.cam])
-    y = _segsum(u, obs.pt, P)
+    y = _segsum(u, obs.pt, P, axis_name)
     dx_p = jnp.einsum("pij,pj->pi", Hpp_inv, -g_p - y)
     dx_p = jnp.where(problem.pt_free[:, None], dx_p, 0.0)
 
@@ -227,7 +238,7 @@ def run_ba(problem: BAProblem, kind: int, iters: int = 10,
            cg_iters: int = 30, huber_delta2: float = CHI2_MONO,
            robust: bool = True, chi2_th: float = CHI2_MONO,
            edge_mask: Optional[jnp.ndarray] = None,
-           lam0: float = 1e-4) -> BAResult:
+           lam0: float = 1e-4, axis_name=None) -> BAResult:
     """LM loop with accept/reject and adaptive damping.  jit-able.
 
     Semantics of ``Optimizer::BundleAdjustment`` / ``LocalBundleAdjustment``
@@ -239,14 +250,14 @@ def run_ba(problem: BAProblem, kind: int, iters: int = 10,
 
     def cost_at(q, t, p):
         prob = problem._replace(cam_q=q, cam_t=t, pts=p)
-        c, _ = ba_cost_and_inliers(prob, kind, chi2_th)
+        c, _ = ba_cost_and_inliers(prob, kind, chi2_th, axis_name)
         return c
 
     def body(_, carry):
         q, t, p, lam, cost = carry
         prob = problem._replace(cam_q=q, cam_t=t, pts=p)
         nq, nt, np_ = _lm_iteration(prob, kind, lam, mask0, huber_delta2,
-                                    cg_iters, robust)
+                                    cg_iters, robust, axis_name)
         new_cost = cost_at(nq, nt, np_)
         accept = new_cost < cost
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-7),

@@ -1,0 +1,69 @@
+"""Distributed BA on a virtual 8-device mesh: parity with single-device."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from mam3slam_tpu.geometry import cameras
+from mam3slam_tpu.parallel import dist_ba
+from mam3slam_tpu.solvers import ba
+
+from test_ba import make_scene, _build_problem, _reproj_rms, CAM_PARAMS
+
+
+def _mesh(n=8, axis="edge"):
+    devs = np.array(jax.devices()[:n])
+    return Mesh(devs, (axis,))
+
+
+def test_dist_ba_matches_local():
+    q, t, pts, oc, op, ouv = make_scene(n_cams=6, n_pts=250, noise_px=0.5,
+                                        seed=7)
+    rng = np.random.default_rng(0)
+    qp, tp = q.copy(), t.copy()
+    tp[2:] += rng.normal(0, 0.05, tp[2:].shape)
+    ptsp = (pts + rng.normal(0, 0.08, pts.shape)).astype(np.float32)
+    cam_free = np.array([False, False] + [True] * (len(q) - 2))
+    prob = _build_problem(qp, tp, ptsp, oc, op, ouv, cam_free,
+                          np.ones(len(pts), bool))
+
+    local = ba.run_ba(prob, cameras.PINHOLE, iters=10, cg_iters=30)
+    mesh = _mesh()
+    dist = dist_ba.dist_run_ba(prob, mesh, cameras.PINHOLE, iters=10,
+                               cg_iters=30)
+
+    rms_l, _ = _reproj_rms(local, oc, op, ouv)
+    rms_d, _ = _reproj_rms(dist, oc, op, ouv)
+    assert rms_d < 0.8, rms_d
+    # identical control flow => near-identical result (f32 reduction order)
+    np.testing.assert_allclose(np.asarray(dist.cam_t),
+                               np.asarray(local.cam_t), atol=5e-3)
+    np.testing.assert_allclose(rms_d, rms_l, atol=0.05)
+
+
+def test_batched_pose_opt_sharded():
+    n_agents = 8
+    qs, ts, ptss, uvs = [], [], [], []
+    M = 0
+    scenes = [make_scene(n_cams=1, n_pts=150, noise_px=0.4, seed=100 + i)
+              for i in range(n_agents)]
+    M = min(min((len(s[4]) for s in scenes)), 256)
+    from mam3slam_tpu.geometry import lie
+    for q, t, pts, oc, op, ouv in scenes:
+        dq = lie.so3_exp_quat(jnp.asarray([0.02, -0.01, 0.02]))
+        qs.append(np.asarray(lie.quat_mul(dq, jnp.asarray(q[0]))))
+        ts.append(t[0] + np.array([0.05, -0.04, 0.06], np.float32))
+        ptss.append(pts[op[:M]])
+        uvs.append(ouv[:M])
+    mesh = _mesh(axis="agent")
+    fn = dist_ba.batched_pose_optimization(mesh, cameras.PINHOLE)
+    res = fn(jnp.asarray(np.array(qs)), jnp.asarray(np.array(ts)),
+             jnp.broadcast_to(jnp.asarray(CAM_PARAMS), (n_agents, 8)),
+             jnp.asarray(np.array(ptss)), jnp.asarray(np.array(uvs)),
+             jnp.ones((n_agents, M), np.float32),
+             jnp.ones((n_agents, M), bool))
+    for i, (q, t, *_rest) in enumerate(scenes):
+        t_err = np.linalg.norm(np.asarray(res.t[i]) - t[0])
+        assert t_err < 0.02, (i, t_err)
+        assert int(res.n_inliers[i]) > 0.9 * M
