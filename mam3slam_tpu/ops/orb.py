@@ -15,9 +15,9 @@ TPU design choices (vs the reference's per-cell scalar loops):
   rank-in-cell penalty: every cell's best corner outranks any cell's
   second-best, reproducing the octree's spatial spreading property
   (SURVEY.md §7 sanctions this substitution; validated by match quality).
-* IC orientation is computed as two 31x31 moment *convolution maps*
-  (m10 = I * (x·mask), m01 = I * (y·mask)) and gathered at keypoints —
-  turning 961-pixel patch reductions into one fused conv.
+* IC orientation is computed as two dense moment maps (m10, m01 over the
+  circular patch) via per-row prefix sums and gathered at keypoints —
+  961-pixel patch reductions become O(31) cumsum slices per pixel row.
 * rBRIEF samples the 7x7 sigma=2 blurred level image at integer-rounded
   rotated pattern offsets via batched gathers; bits pack to the same
   byte/bit order as OpenCV so descriptors are directly comparable.
@@ -274,13 +274,9 @@ def _select_level_keypoints(score: jnp.ndarray, cfg: OrbConfig, budget: int):
 # orientation (intensity centroid via moment conv maps)
 # ---------------------------------------------------------------------------
 
-@functools.lru_cache(maxsize=None)
-def _ic_kernels():
+def _circular_umax() -> np.ndarray:
+    """u_max per |dy| of the r=15 circular patch (reference umax table)."""
     r = HALF_PATCH
-    ys, xs = np.mgrid[-r: r + 1, -r: r + 1]
-    # circular mask identical to the reference's umax table (u_max per row of
-    # the r=15 patch, src/ORBextractor.cc:83-95): |(x,y)| <= r with the
-    # OpenCV rounding convention.
     umax = np.zeros(r + 1, dtype=np.int64)
     vmax = int(np.floor(r * np.sqrt(2.0) / 2 + 1))
     vmin = int(np.ceil(r * np.sqrt(2.0) / 2))
@@ -292,24 +288,45 @@ def _ic_kernels():
             v0 += 1
         umax[v] = v0
         v0 += 1
-    mask = np.abs(xs) <= umax[np.abs(ys)]
-    kx = (xs * mask).astype(np.float32)
-    ky = (ys * mask).astype(np.float32)
-    return kx, ky  # numpy (safe to lru_cache; converted at trace time)
+    return umax
 
 
 def orientation_maps(img: jnp.ndarray):
-    """m10/m01 moment maps over the circular r=15 patch; gathering these at a
-    keypoint gives its IC angle (reference IC_Angle, src/ORBextractor.cc:76)."""
-    kx_np, ky_np = _ic_kernels()
-    kx, ky = jnp.asarray(kx_np), jnp.asarray(ky_np)
-    x = img[None, None]
-    m10 = jax.lax.conv_general_dilated(
-        x, kx[None, None], (1, 1), [(HALF_PATCH, HALF_PATCH)] * 2,
-        preferred_element_type=jnp.float32)[0, 0]
-    m01 = jax.lax.conv_general_dilated(
-        x, ky[None, None], (1, 1), [(HALF_PATCH, HALF_PATCH)] * 2,
-        preferred_element_type=jnp.float32)[0, 0]
+    """m10/m01 moment maps over the circular r=15 patch; gathering these at
+    a keypoint gives its IC angle (reference IC_Angle, ORBextractor.cc:76).
+
+    Implemented with per-row prefix sums instead of a 31x31 convolution:
+    for each of the 31 patch rows, the windowed sums  sum I  and
+    sum (x-xc) I  come from two cumulative sums and four slices — exact,
+    O(31*H*W) elementwise work, and (unlike a large single-channel conv,
+    which takes the TPU compiler minutes to lower) compiles in seconds.
+    Border pixels are truncated, which is irrelevant: keypoints live inside
+    the EDGE_THRESHOLD=19 > r=15 border.
+    """
+    r = HALF_PATCH
+    umax = _circular_umax()
+    h, w = img.shape
+    pad = jnp.pad(img, ((r, r), (r, r)))  # zero pad
+    xs_abs = jnp.arange(w + 2 * r, dtype=img.dtype)
+    xc = jnp.arange(w, dtype=img.dtype) + r  # padded center coords
+
+    m10 = jnp.zeros_like(img)
+    m01 = jnp.zeros_like(img)
+    for dy in range(-r, r + 1):
+        u = int(umax[abs(dy)])
+        row = pad[r + dy: r + dy + h, :]             # [H, W+2r]
+        C = jnp.cumsum(row, axis=1)
+        Cx = jnp.cumsum(row * xs_abs[None, :], axis=1)
+        hi = r + u
+        lo = r - u - 1
+        sumI = C[:, hi: hi + w] - (C[:, lo: lo + w] if lo >= 0
+                                   else jnp.pad(C[:, : lo + w],
+                                                ((0, 0), (-lo, 0))))
+        sumXI = Cx[:, hi: hi + w] - (Cx[:, lo: lo + w] if lo >= 0
+                                     else jnp.pad(Cx[:, : lo + w],
+                                                  ((0, 0), (-lo, 0))))
+        m10 = m10 + (sumXI - xc[None, :] * sumI)
+        m01 = m01 + dy * sumI
     return m10, m01
 
 
