@@ -1,0 +1,181 @@
+"""Bag-of-words place recognition: vocabulary tree + scoring.
+
+TPU-native replacement for DBoW2 (`Thirdparty/DBoW2`, SURVEY.md §1 layer 3)
+and the KeyFrameDatabase inverted index (``src/KeyFrameDatabase.cc``).
+
+Design (SURVEY.md §7 "DBoW2 -> on-device quantization"):
+* The vocabulary is a flat per-level centroid table: level ``l`` holds
+  ``k^(l+1)`` binary centroids; the children of node ``n`` occupy slots
+  ``n*k .. n*k+k-1`` of the next level.  Descent is ``L`` batched
+  Hamming-argmin steps (bit-matmul on the MXU) — no pointers, no recursion.
+* A keyframe's BoW vector is a dense tf-idf array over the ``k^L`` leaves
+  (L1-normalized).  With 10k leaves and bf16 this is 20 KB/KF — dense
+  storage beats an inverted index on TPU because scoring all keyframes at
+  once is one [K, W] elementwise reduction.
+* ``detect_candidates`` reproduces DetectNBestCandidates semantics: shared
+  word-count gating at 0.8x the best, L1 similarity score, exclusion of
+  covisibility-connected keyframes, and the loop/merge split by map id.
+
+The vocabulary is trained with hierarchical k-majority (binary k-means)
+over sample descriptors (numpy, offline/startup) — the DBoW2 ORB vocab
+file's exact clusters are not required for parity, only candidate quality.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Vocabulary(NamedTuple):
+    """Flat vocabulary tree; a pytree.  levels[l]: [k^(l+1), 256] bf16."""
+
+    centroid_bits: tuple          # per-level bit matrices
+    idf: jnp.ndarray              # [n_leaves] f32
+    k: int
+    depth: int
+
+    @property
+    def n_leaves(self) -> int:
+        return self.k ** self.depth
+
+
+def _unpack_bits_np(desc: np.ndarray) -> np.ndarray:
+    return np.unpackbits(desc, axis=-1, bitorder="little").astype(np.uint8)
+
+
+def _pack_bits_np(bits: np.ndarray) -> np.ndarray:
+    return np.packbits(bits, axis=-1, bitorder="little")
+
+
+def _kmajority(bits: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
+    """Binary k-means (majority-vote centroids) on [N, 256] 0/1 arrays.
+    Returns [k, 256] centroids."""
+    n = bits.shape[0]
+    if n == 0:
+        return rng.integers(0, 2, (k, 256)).astype(np.uint8)
+    init = rng.choice(n, size=min(k, n), replace=False)
+    cent = bits[init].astype(np.uint8)
+    if len(init) < k:
+        cent = np.concatenate(
+            [cent, rng.integers(0, 2, (k - len(init), 256)).astype(np.uint8)])
+    for _ in range(iters):
+        # Hamming distance via float matmul on unpacked bits
+        d = (bits.astype(np.float32) @ (1 - 2 * cent.astype(np.float32)).T
+             + cent.sum(axis=1)[None, :])
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            sel = bits[assign == c]
+            if len(sel) == 0:
+                cent[c] = bits[rng.integers(0, n)]
+            else:
+                cent[c] = (sel.mean(axis=0) >= 0.5).astype(np.uint8)
+    return cent
+
+
+def build_vocabulary(descs: np.ndarray, k: int = 10, depth: int = 3,
+                     iters: int = 4, seed: int = 0) -> Vocabulary:
+    """Hierarchical k-majority vocabulary from [N, 32] u8 descriptors.
+
+    idf weights from the training set (DBoW2 TF_IDF weighting).
+    """
+    rng = np.random.default_rng(seed)
+    bits = _unpack_bits_np(descs)
+    n = bits.shape[0]
+
+    levels = []
+    assignments = np.zeros(n, np.int64)  # node id at current level
+    for lv in range(depth):
+        n_parent = k ** lv
+        cents = np.zeros((k ** (lv + 1), 256), np.uint8)
+        new_assign = np.zeros(n, np.int64)
+        for p in range(n_parent):
+            sel = assignments == p
+            c = _kmajority(bits[sel], k, iters, rng)
+            cents[p * k:(p + 1) * k] = c
+            if sel.any():
+                sub = bits[sel].astype(np.float32)
+                d = (sub @ (1 - 2 * c.astype(np.float32)).T
+                     + c.sum(axis=1)[None, :])
+                new_assign[sel] = p * k + d.argmin(axis=1)
+        assignments = new_assign
+        levels.append(jnp.asarray(
+            cents.astype(np.float32), jnp.bfloat16))
+
+    n_leaves = k ** depth
+    counts = np.bincount(assignments, minlength=n_leaves).astype(np.float64)
+    idf = np.log(max(n, 1) / np.maximum(counts, 1.0)).astype(np.float32)
+    return Vocabulary(centroid_bits=tuple(levels), idf=jnp.asarray(idf),
+                      k=k, depth=depth)
+
+
+def quantize(voc: Vocabulary, desc_bits: jnp.ndarray) -> jnp.ndarray:
+    """[N, 256] bit matrix (0/1, any float dtype) -> [N] leaf word ids.
+
+    L batched Hamming-argmin descents; each step compares against the k
+    children of the current node via one gathered bit-matmul.
+    """
+    n = desc_bits.shape[0]
+    node = jnp.zeros((n,), jnp.int32)
+    x = desc_bits.astype(jnp.bfloat16)
+    pop_x = jnp.sum(x.astype(jnp.float32), axis=-1)
+    for lv in range(voc.depth):
+        cents = voc.centroid_bits[lv]              # [k^(lv+1), 256] bf16
+        child0 = node * voc.k
+        idx = child0[:, None] + jnp.arange(voc.k)[None, :]  # [N, k]
+        c = cents[idx]                             # [N, k, 256]
+        dot = jnp.einsum("nd,nkd->nk", x, c,
+                         preferred_element_type=jnp.float32)
+        pop_c = jnp.sum(c.astype(jnp.float32), axis=-1)
+        d = pop_x[:, None] + pop_c - 2.0 * dot
+        node = (child0 + jnp.argmin(d, axis=-1)).astype(jnp.int32)
+    return node
+
+
+def bow_vector(voc: Vocabulary, words: jnp.ndarray,
+               valid: jnp.ndarray) -> jnp.ndarray:
+    """Word ids [F] (+mask) -> dense L1-normalized tf-idf vector [W]."""
+    W = voc.n_leaves
+    tf = jnp.zeros((W,), jnp.float32).at[
+        jnp.where(valid, words, 0)].add(jnp.where(valid, 1.0, 0.0))
+    v = tf * voc.idf
+    return v / jnp.maximum(jnp.sum(jnp.abs(v)), 1e-9)
+
+
+def l1_scores(query: jnp.ndarray, db: jnp.ndarray) -> jnp.ndarray:
+    """DBoW2 L1 similarity: s = 1 - 0.5 |q - d|_1 for L1-normalized
+    vectors.  query [W], db [K, W] -> [K]."""
+    return 1.0 - 0.5 * jnp.sum(jnp.abs(query[None, :] - db), axis=-1)
+
+
+def shared_word_counts(query_words, query_valid, db_word_mask) -> jnp.ndarray:
+    """Count of query words present in each db keyframe's word set.
+    db_word_mask [K, W] bool (word presence)."""
+    W = db_word_mask.shape[1]
+    q_mask = jnp.zeros((W,), jnp.float32).at[
+        jnp.where(query_valid, query_words, 0)].add(
+        jnp.where(query_valid, 1.0, 0.0)) > 0
+    return jnp.sum(db_word_mask & q_mask[None, :], axis=-1)
+
+
+def detect_candidates(scores: jnp.ndarray, shared: jnp.ndarray,
+                      eligible: jnp.ndarray, same_map: jnp.ndarray,
+                      n_best: int = 3):
+    """DetectNBestCandidates: gate by shared-words >= 0.8 * max, then take
+    the n_best scoring candidates separately among same-map (loop) and
+    other-map (merge) keyframes.
+
+    Returns (loop_idx [n], loop_ok [n], merge_idx [n], merge_ok [n]).
+    """
+    max_common = jnp.max(jnp.where(eligible, shared, 0))
+    gate = eligible & (shared >= 0.8 * max_common) & (shared > 0)
+    s = jnp.where(gate, scores, -jnp.inf)
+    s_loop = jnp.where(same_map, s, -jnp.inf)
+    s_merge = jnp.where(~same_map, s, -jnp.inf)
+    lv, li = jax.lax.top_k(s_loop, n_best)
+    mv, mi = jax.lax.top_k(s_merge, n_best)
+    return (li.astype(jnp.int32), jnp.isfinite(lv),
+            mi.astype(jnp.int32), jnp.isfinite(mv))
