@@ -1,0 +1,570 @@
+"""Centralized loop-closing / map-merging server.
+
+TPU-native equivalent of the reference's single LoopClosing thread
+(``src/LoopClosing.cc``, SURVEY.md §2.2 + §3.4) — the multi-agent heart:
+one server consumes keyframes from ALL agents, detects common regions
+across all maps via BoW, verifies them geometrically with Sim3, and
+executes intra-map loop corrections or inter-map (inter-agent) merges.
+
+Reference semantics preserved:
+* per-agent hypothesis state with 3-consecutive-KF confirmation and
+  2-miss expiry (NewDetectCommonRegionsMulti :502-720);
+* candidate thresholds nBoWMatches=20, nSim3Inliers=10(RANSAC),
+  nProjOptMatches>=20 after guided projection + OptimizeSim3 (:893-897 —
+  we use the post-optimization gate as the decisive one);
+* loop: Sim3 propagation over the covisible window, map-point fusion,
+  essential-graph PGO (CorrectLoop :1549);
+* merge: Sim3-transform the current (newer) map into the matched (older)
+  map, relabel, retarget every agent of the absorbed map, welding local BA
+  (MergeLocalMulti :2277);
+* maps with < 12 keyframes are skipped (:523).
+
+The stop-the-world sections of the reference become synchronous epochs
+here: the server mutates the shared functional MapState between tracking
+steps (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mam3slam_tpu.geometry import cameras as cam_mod
+from mam3slam_tpu.geometry import lie
+from mam3slam_tpu.mapstate import state as S
+from mam3slam_tpu.ops import bow
+from mam3slam_tpu.ops import matching as M
+from mam3slam_tpu.solvers import ba as ba_mod
+from mam3slam_tpu.solvers import pgo as pgo_mod
+from mam3slam_tpu.solvers import sim3 as sim3_mod
+from mam3slam_tpu.slam import steps
+
+
+@dataclass
+class Hypothesis:
+    """Per-agent loop/merge hypothesis (reference Agent.h:221-240 fields)."""
+
+    target_kf: int = -1
+    is_merge: bool = False
+    n_coincidences: int = 0
+    n_misses: int = 0
+    # S_cw mapping target-map world -> current KF camera
+    q: Optional[np.ndarray] = None
+    t: Optional[np.ndarray] = None
+    s: float = 1.0
+
+
+@dataclass
+class ServerConfig:
+    min_kfs_in_map: int = 12
+    n_candidates: int = 3
+    n_bow_matches: int = 20
+    n_sim3_inliers: int = 10
+    n_proj_opt_matches: int = 20
+    n_confirm: int = 3
+    max_misses: int = 2
+    pgo_min_covis_weight: int = 100
+    vocab_k: int = 10
+    vocab_depth: int = 3
+
+
+class LoopServer:
+    """Consumes (agent, kf) events; owns BoW database + hypothesis state."""
+
+    def __init__(self, system, cfg: ServerConfig = None,
+                 vocab: bow.Vocabulary = None, seed: int = 0):
+        self.sys = system
+        self.cfg = cfg or ServerConfig()
+        self.voc = vocab
+        self.hyp: Dict[int, Hypothesis] = {}
+        self.key = jax.random.PRNGKey(seed + 1234)
+        K = system.cfg.max_kf
+        self.kf_bow = None         # [K, W] f32 lazily allocated
+        self.kf_words = None       # [K, F] i32
+        self.kf_word_mask = None   # [K, W] bool
+        self.events: List[str] = []
+        self._fns = {}
+
+    # ------------------------------------------------------------------
+    def ensure_vocab(self):
+        """Train the vocabulary from descriptors already in the map if none
+        was provided (bootstrap path; EuRoC runs pass a pre-trained one)."""
+        if self.voc is not None:
+            return
+        ms = self.sys.ms
+        desc = np.asarray(ms.kf_feat_desc)
+        valid = np.asarray(ms.kf_feat_valid) & np.asarray(ms.kf_valid)[:, None]
+        sample = desc[valid][:20000]
+        if len(sample) < 500:
+            sample = np.random.default_rng(0).integers(
+                0, 256, (2000, 32), dtype=np.uint8)
+        self.voc = bow.build_vocabulary(sample, k=self.cfg.vocab_k,
+                                        depth=self.cfg.vocab_depth)
+        K = self.sys.cfg.max_kf
+        W = self.voc.n_leaves
+        self.kf_bow = np.zeros((K, W), np.float32)
+        self.kf_word_mask = np.zeros((K, W), bool)
+        self.kf_words = np.zeros((K, self.sys.cfg.n_feat), np.int32)
+
+    # ------------------------------------------------------------------
+    def _index_keyframe(self, kf: int):
+        """Quantize + store the KF's BoW vector (KeyFrameDatabase::add)."""
+        ms = self.sys.ms
+        desc = ms.kf_feat_desc[kf]
+        valid = ms.kf_feat_valid[kf]
+        bits = M.unpack_desc(desc)
+        words = bow.quantize(self.voc, bits)
+        vec = bow.bow_vector(self.voc, words, valid)
+        self.kf_words[kf] = np.asarray(words)
+        self.kf_bow[kf] = np.asarray(vec)
+        wm = np.zeros(self.voc.n_leaves, bool)
+        wm[self.kf_words[kf][np.asarray(valid)]] = True
+        self.kf_word_mask[kf] = wm
+
+    # ------------------------------------------------------------------
+    def process_keyframe(self, agent_id: int, kf: int):
+        """LoopClosing::Run body for one popped keyframe."""
+        self.ensure_vocab()
+        self._index_keyframe(kf)
+        ms = self.sys.ms
+        kf_map = int(ms.kf_map[kf])
+        n_in_map = int((np.asarray(ms.kf_valid)
+                        & (np.asarray(ms.kf_map) == kf_map)).sum())
+        if n_in_map < self.cfg.min_kfs_in_map:
+            return None
+
+        # 1. continue an existing hypothesis for this agent
+        h = self.hyp.get(agent_id)
+        if h is not None and h.n_coincidences > 0:
+            if self._refine_hypothesis(agent_id, kf, h):
+                h.n_coincidences += 1
+                h.n_misses = 0
+                if h.n_coincidences >= self.cfg.n_confirm:
+                    return self._trigger(agent_id, kf, h)
+                return None
+            h.n_misses += 1
+            if h.n_misses > self.cfg.max_misses:
+                del self.hyp[agent_id]
+
+        # 2. fresh candidates from the BoW database
+        loop_c, merge_c = self._detect_candidates(kf)
+        for cand, is_merge in ([(c, False) for c in loop_c]
+                               + [(c, True) for c in merge_c]):
+            res = self._verify_candidate(kf, cand)
+            if res is None:
+                continue
+            q, t, s = res
+            self.hyp[agent_id] = Hypothesis(
+                target_kf=cand, is_merge=is_merge, n_coincidences=1,
+                q=q, t=t, s=s)
+            break
+        return None
+
+    # ------------------------------------------------------------------
+    def _detect_candidates(self, kf: int):
+        ms = self.sys.ms
+        cfg = self.cfg
+        scores = bow.l1_scores(jnp.asarray(self.kf_bow[kf]),
+                               jnp.asarray(self.kf_bow))
+        shared = bow.shared_word_counts(
+            jnp.asarray(self.kf_words[kf]), ms.kf_feat_valid[kf],
+            jnp.asarray(self.kf_word_mask))
+        covis_row = np.asarray(ms.covis[kf])
+        kf_valid = np.asarray(ms.kf_valid)
+        eligible = (kf_valid & (covis_row == 0)
+                    & (np.arange(len(kf_valid)) != kf))
+        same_map = np.asarray(ms.kf_map) == int(ms.kf_map[kf])
+        li, lok, mi, mok = bow.detect_candidates(
+            scores, shared, jnp.asarray(eligible), jnp.asarray(same_map),
+            cfg.n_candidates)
+        loop_c = [int(i) for i, o in zip(np.asarray(li), np.asarray(lok))
+                  if o]
+        merge_c = [int(i) for i, o in zip(np.asarray(mi), np.asarray(mok))
+                   if o]
+        return loop_c, merge_c
+
+    # ------------------------------------------------------------------
+    def _candidate_window_points(self, cand: int, n_covis: int = 5):
+        """Map points observed by the candidate KF + its top covisibles
+        (the reference matches against cand + 10 covisibles)."""
+        ms = self.sys.ms
+        idx, w, ok = S.best_covisible(ms, jnp.asarray(cand), n_covis)
+        kf_sel = np.zeros(ms.kf_valid.shape[0], bool)
+        kf_sel[cand] = True
+        for i, o in zip(np.asarray(idx), np.asarray(ok)):
+            if o:
+                kf_sel[int(i)] = True
+        fmp = np.asarray(ms.kf_feat_mp)
+        mp_mask = np.zeros(ms.mp_valid.shape[0], bool)
+        sel_mps = fmp[kf_sel]
+        mp_mask[sel_mps[sel_mps >= 0]] = True
+        return jnp.asarray(mp_mask & np.asarray(ms.mp_valid))
+
+    # ------------------------------------------------------------------
+    def _verify_candidate(self, kf: int, cand: int):
+        """BoW match -> Sim3 RANSAC -> guided projection + OptimizeSim3.
+
+        Returns (q, t, s) of S_cw: candidate-map WORLD -> current KF camera
+        (the reference's mg2oLoopScw), or None.
+        """
+        ms = self.sys.ms
+        cfg = self.cfg
+        cam = self.sys.cam
+
+        # BoW-space brute force between the two KFs' features (with mp)
+        bits1 = M.unpack_desc(ms.kf_feat_desc[kf])
+        bits2 = M.unpack_desc(ms.kf_feat_desc[cand])
+        has1 = ms.kf_feat_valid[kf] & (ms.kf_feat_mp[kf] >= 0)
+        has2 = ms.kf_feat_valid[cand] & (ms.kf_feat_mp[cand] >= 0)
+        res = M.search_by_brute_force(
+            bits1, has1, ms.kf_feat_angle[kf],
+            bits2, has2, ms.kf_feat_angle[cand])
+        n_bow = int(np.asarray(res.ok).sum())
+        if n_bow < cfg.n_bow_matches:
+            return None
+
+        mp1 = np.asarray(ms.kf_feat_mp[kf])
+        mp2 = np.asarray(ms.kf_feat_mp[cand])
+        idx = np.asarray(res.idx)
+        okm = np.asarray(res.ok)
+        F = len(mp1)
+        pts1 = ms.mp_pos[jnp.asarray(np.maximum(mp1, 0))]
+        pts2 = ms.mp_pos[jnp.asarray(np.maximum(mp2[idx], 0))]
+        uv1 = ms.kf_feat_uv[kf]
+        uv2 = ms.kf_feat_uv[cand][jnp.asarray(idx)]
+        lvl1 = np.asarray(ms.kf_feat_level[kf])
+        lvl2 = np.asarray(ms.kf_feat_level[cand])[idx]
+        s2 = self.sys.cfg.sigma2
+        sig1 = jnp.asarray(s2[np.clip(lvl1, 0, len(s2) - 1)])
+        sig2 = jnp.asarray(s2[np.clip(lvl2, 0, len(s2) - 1)])
+
+        self.key, sub = jax.random.split(self.key)
+        r = sim3_mod.ransac_sim3(
+            pts1, pts2, jnp.asarray(okm),
+            uv1, uv2, cam,
+            ms.kf_q[kf], ms.kf_t[kf], ms.kf_q[cand], ms.kf_t[cand],
+            sub, sig1, sig2, min_inliers=cfg.n_sim3_inliers)
+        if not bool(r.ok):
+            return None
+
+        # guided projection of the candidate window's map points into the
+        # current KF using the Sim3 (SearchByProjection th=8), then refine
+        mp_mask = self._candidate_window_points(cand)
+        # S_c1<-w2 = S_c1<-c2 * T_c2<-w2
+        S12 = lie.Sim3(r.q, r.t, r.s)
+        T2 = lie.sim3_from_se3(lie.SE3(ms.kf_q[cand], ms.kf_t[cand]))
+        Scw = lie.sim3_compose(S12, T2)
+        proj = lie.sim3_apply(Scw, ms.mp_pos)
+        uvp = cam_mod.project_ideal(cam, proj)
+        vis = (mp_mask & (proj[:, 2] > 0.05)
+               & (uvp[:, 0] >= 0) & (uvp[:, 0] < self.sys.cfg.width)
+               & (uvp[:, 1] >= 0) & (uvp[:, 1] < self.sys.cfg.height))
+        mres = M.search_by_projection_frame(
+            uvp, jnp.zeros(proj.shape[0], jnp.int32),
+            jnp.full(proj.shape[0], 8.0), M.unpack_desc(ms.mp_desc), vis,
+            ms.kf_feat_uv[kf], ms.kf_feat_level[kf], bits1,
+            ms.kf_feat_valid[kf], level_lo=8, level_hi=8)
+        n_proj = int(np.asarray(mres.ok).sum())
+        if n_proj < cfg.n_proj_opt_matches:
+            return None
+
+        # refine with optimize_sim3 on the projection matches
+        P = ms.mp_pos.shape[0]
+        sel_mp = jnp.arange(P)
+        pc2 = lie.sim3_apply(T2, ms.mp_pos)       # candidate-camera frame
+        pc1_obs_uv = ms.kf_feat_uv[kf][jnp.clip(mres.idx, 0)]
+        # current KF camera points of the matched features' map points
+        # (use the candidate-map geometry transformed by S12 as pc1 proxy)
+        pc1 = lie.sim3_apply(S12, pc2)
+        lvl_f = ms.kf_feat_level[kf][jnp.clip(mres.idx, 0)]
+        sgf = jnp.asarray(s2)[jnp.clip(lvl_f, 0, len(s2) - 1)]
+        q_o, t_o, s_o, inl, n_in = sim3_mod.optimize_sim3(
+            r.q, r.t, r.s, pc1, pc2, pc1_obs_uv,
+            cam_mod.project_ideal(cam, pc2), mres.ok,
+            cam, sgf, sgf)
+        n_opt = int(n_in)
+        if n_opt < cfg.n_proj_opt_matches:
+            return None
+
+        S12_o = lie.Sim3(q_o, t_o, s_o)
+        Scw_o = lie.sim3_compose(S12_o, T2)
+        return (np.asarray(Scw_o.q), np.asarray(Scw_o.t), float(Scw_o.s))
+
+    # ------------------------------------------------------------------
+    def _refine_hypothesis(self, agent_id: int, kf: int, h: Hypothesis):
+        """DetectAndReffineSim3FromLastKF: propagate S_cw through the
+        agent's motion and re-validate by projection matching."""
+        ms = self.sys.ms
+        cam = self.sys.cam
+        # propagate: S_c_new,w2 = T_c_new,w1 * T_c_last,w1^-1 * S_c_last,w2
+        # approximated by recomputing through current pose relative to the
+        # stored hypothesis keyframe is not available; use matched map
+        # projection with the stored Scw directly transformed by relative
+        # motion of the agent since last KF:
+        a = self.sys.agents[agent_id]
+        # relative motion: T_cur_cw * T_prevkf_cw^-1 in map-1 frame
+        prev_kf = getattr(h, "_last_kf", None)
+        S_prev = lie.Sim3(jnp.asarray(h.q), jnp.asarray(h.t),
+                          jnp.asarray(h.s, jnp.float32))
+        if prev_kf is not None:
+            T_cur = lie.sim3_from_se3(lie.SE3(ms.kf_q[kf], ms.kf_t[kf]))
+            T_prev = lie.sim3_from_se3(
+                lie.SE3(ms.kf_q[prev_kf], ms.kf_t[prev_kf]))
+            rel = lie.sim3_compose(T_cur, lie.sim3_inverse(T_prev))
+            S_cur = lie.sim3_compose(rel, S_prev)
+        else:
+            S_cur = S_prev
+
+        mp_mask = self._candidate_window_points(h.target_kf)
+        proj = lie.sim3_apply(S_cur, ms.mp_pos)
+        uvp = cam_mod.project_ideal(cam, proj)
+        vis = (mp_mask & (proj[:, 2] > 0.05)
+               & (uvp[:, 0] >= 0) & (uvp[:, 0] < self.sys.cfg.width)
+               & (uvp[:, 1] >= 0) & (uvp[:, 1] < self.sys.cfg.height))
+        mres = M.search_by_projection_frame(
+            uvp, jnp.zeros(proj.shape[0], jnp.int32),
+            jnp.full(proj.shape[0], 8.0), M.unpack_desc(ms.mp_desc), vis,
+            ms.kf_feat_uv[kf], ms.kf_feat_level[kf],
+            M.unpack_desc(ms.kf_feat_desc[kf]), ms.kf_feat_valid[kf],
+            level_lo=8, level_hi=8)
+        n = int(np.asarray(mres.ok).sum())
+        if n >= self.cfg.n_proj_opt_matches:
+            h.q, h.t, h.s = (np.asarray(S_cur.q), np.asarray(S_cur.t),
+                             float(S_cur.s))
+            h._last_kf = kf
+            return True
+        h._last_kf = kf
+        return False
+
+    # ------------------------------------------------------------------
+    def _trigger(self, agent_id: int, kf: int, h: Hypothesis):
+        del self.hyp[agent_id]
+        if h.is_merge or int(self.sys.ms.kf_map[kf]) != int(
+                self.sys.ms.kf_map[h.target_kf]):
+            self.merge_maps(agent_id, kf, h)
+            return "merge"
+        self.correct_loop(agent_id, kf, h)
+        return "loop"
+
+    # ------------------------------------------------------------------
+    def correct_loop(self, agent_id: int, kf: int, h: Hypothesis):
+        """CorrectLoop: Sim3-correct the covisible window, fuse duplicate
+        points, essential-graph PGO over the whole map."""
+        sysm = self.sys
+        ms = sysm.ms
+        cfg = self.cfg
+        K = ms.kf_valid.shape[0]
+        kf_map = int(ms.kf_map[kf])
+        in_map = np.asarray(ms.kf_valid) & (np.asarray(ms.kf_map) == kf_map)
+
+        # corrected pose of current KF from hypothesis: S_cw (scale s)
+        S_corr = lie.Sim3(jnp.asarray(h.q), jnp.asarray(h.t),
+                          jnp.asarray(h.s, jnp.float32))
+        T_cur = lie.sim3_from_se3(lie.SE3(ms.kf_q[kf], ms.kf_t[kf]))
+
+        # build Sim3 pose array: all KFs at their current SE3 (s=1);
+        # the current KF window gets the corrected Sim3 propagated through
+        # relative poses:  S_iw_corr = T_ic * S_corr
+        q_all = np.asarray(ms.kf_q).copy()
+        t_all = np.asarray(ms.kf_t).copy()
+        s_all = np.ones(K, np.float32)
+
+        idx, w, ok = S.best_covisible(ms, jnp.asarray(kf), 16)
+        window = [kf] + [int(i) for i, o in zip(np.asarray(idx),
+                                                np.asarray(ok)) if o]
+        T_cur_inv = lie.sim3_inverse(T_cur)
+        for k_i in window:
+            T_i = lie.sim3_from_se3(lie.SE3(ms.kf_q[k_i], ms.kf_t[k_i]))
+            T_ic = lie.sim3_compose(T_i, T_cur_inv)
+            S_i = lie.sim3_compose(T_ic, S_corr)
+            q_all[k_i] = np.asarray(S_i.q)
+            t_all[k_i] = np.asarray(S_i.t)
+            s_all[k_i] = float(S_i.s)
+
+        # correct window map points through their ref-KF transform, then
+        # run PGO over the essential graph
+        edges = self._essential_edges(ms, kf, h.target_kf, S_corr, in_map)
+        fixed = np.zeros(K, bool)
+        fixed[h.target_kf] = True
+        fixed[~in_map] = True
+
+        q0 = jnp.asarray(q_all)
+        t0 = jnp.asarray(t_all)
+        s0 = jnp.asarray(s_all)
+        q_n, t_n, s_n = pgo_mod.optimize_essential_graph(
+            q0, t0, s0, jnp.asarray(fixed), edges, iters=12)
+
+        # map points: correct through reference KF before/after
+        mp_mask = jnp.asarray(np.asarray(ms.mp_valid)
+                              & (np.asarray(ms.mp_map) == kf_map))
+        new_pos = pgo_mod.correct_points_by_ref(
+            ms.mp_pos, ms.mp_ref_kf, mp_mask,
+            ms.kf_q, ms.kf_t, jnp.ones(K), q_n, t_n, s_n)
+
+        # fold scale into SE3 poses: T_cw = (R, t/s)
+        q_out = lie.quat_normalize(q_n)
+        t_out = t_n / jnp.maximum(s_n[:, None], 1e-9)
+        upd = jnp.asarray(in_map)
+        ms = ms._replace(
+            kf_q=jnp.where(upd[:, None], q_out, ms.kf_q),
+            kf_t=jnp.where(upd[:, None], t_out, ms.kf_t),
+            mp_pos=new_pos,
+            map_change=ms.map_change.at[kf_map].add(1))
+        sysm.ms = ms
+
+        # fuse duplicated points in the loop region and refresh
+        local_mask = sysm.fns["local_mp_mask"](ms, jnp.asarray(kf), 16)
+        ms, _ = sysm.fns["fuse_step"](ms, jnp.asarray(kf), local_mask,
+                                      sysm.cam.params)
+        sysm.ms = sysm.fns["refresh_stats"](ms, ms.mp_valid)
+        self.events.append(
+            f"LOOP agent={agent_id} kf={kf} target={h.target_kf} "
+            f"map={kf_map}")
+
+    # ------------------------------------------------------------------
+    def _essential_edges(self, ms, kf, target_kf, S_corr, in_map):
+        """Essential graph: spanning tree + strong covisibility + the new
+        loop edge (measurement from the verified Sim3)."""
+        K = ms.kf_valid.shape[0]
+        covis = np.asarray(ms.covis)
+        parent = np.asarray(ms.kf_parent)
+        valid = np.asarray(ms.kf_valid) & in_map
+        ei, ej, eq, et, es, ew = [], [], [], [], [], []
+
+        q_np = np.asarray(ms.kf_q)
+        t_np = np.asarray(ms.kf_t)
+
+        def rel(i, j):  # S_j * S_i^-1 at current estimates (s=1)
+            Si = lie.sim3_from_se3(lie.SE3(jnp.asarray(q_np[i]),
+                                           jnp.asarray(t_np[i])))
+            Sj = lie.sim3_from_se3(lie.SE3(jnp.asarray(q_np[j]),
+                                           jnp.asarray(t_np[j])))
+            m = lie.sim3_compose(Sj, lie.sim3_inverse(Si))
+            return (np.asarray(m.q), np.asarray(m.t), float(m.s))
+
+        for j in range(K):
+            if not valid[j]:
+                continue
+            p = parent[j]
+            if p >= 0 and valid[p]:
+                mq, mt, s_ = rel(p, j)
+                ei.append(p)
+                ej.append(j)
+                eq.append(mq)
+                et.append(mt)
+                es.append(s_)
+                ew.append(1.0)
+            # strong covisibility edges (j < i to dedup)
+            strong = np.where(covis[j] >= self.cfg.pgo_min_covis_weight)[0]
+            for i in strong:
+                if i < j and valid[i] and parent[j] != i and parent[i] != j:
+                    mq, mt, s_ = rel(i, j)
+                    ei.append(i)
+                    ej.append(j)
+                    eq.append(mq)
+                    et.append(mt)
+                    es.append(s_)
+                    ew.append(1.0)
+
+        # loop edge: measured S_cur,target = S_corr * T_target^-1
+        T_t = lie.sim3_from_se3(lie.SE3(jnp.asarray(q_np[target_kf]),
+                                        jnp.asarray(t_np[target_kf])))
+        m = lie.sim3_compose(lie.Sim3(
+            jnp.asarray(S_corr.q), jnp.asarray(S_corr.t),
+            jnp.asarray(S_corr.s)), lie.sim3_inverse(T_t))
+        ei.append(target_kf)
+        ej.append(kf)
+        eq.append(np.asarray(m.q))
+        et.append(np.asarray(m.t))
+        es.append(float(m.s))
+        ew.append(5.0)
+
+        E = len(ei)
+        return pgo_mod.PGOEdges(
+            i=jnp.asarray(ei, jnp.int32), j=jnp.asarray(ej, jnp.int32),
+            q=jnp.asarray(np.array(eq), jnp.float32),
+            t=jnp.asarray(np.array(et), jnp.float32),
+            s=jnp.asarray(np.array(es), jnp.float32),
+            w=jnp.asarray(ew, jnp.float32), valid=jnp.ones(E, bool))
+
+    # ------------------------------------------------------------------
+    def merge_maps(self, agent_id: int, kf: int, h: Hypothesis):
+        """MergeLocalMulti: transform the current KF's map into the target
+        map's frame with the verified Sim3, relabel, retarget agents,
+        welding BA around the seam."""
+        sysm = self.sys
+        ms = sysm.ms
+        cur_map = int(ms.kf_map[kf])
+        tgt_map = int(ms.kf_map[h.target_kf])
+        K = ms.kf_valid.shape[0]
+
+        # S_cw maps target-map world -> current camera.  Current pose maps
+        # current-map world -> current camera.  The transform taking
+        # current-map world coords into target-map world coords:
+        #   S_w2<-w1 = S_cw^-1 * T_cw1   (w2 = target world, w1 = cur world)
+        S_cw = lie.Sim3(jnp.asarray(h.q), jnp.asarray(h.t),
+                        jnp.asarray(h.s, jnp.float32))
+        T_c_w1 = lie.sim3_from_se3(lie.SE3(ms.kf_q[kf], ms.kf_t[kf]))
+        S_21 = lie.sim3_compose(lie.sim3_inverse(S_cw), T_c_w1)
+        S_12 = lie.sim3_inverse(S_21)
+
+        in_cur = jnp.asarray(np.asarray(ms.kf_valid)
+                             & (np.asarray(ms.kf_map) == cur_map))
+        mp_cur = jnp.asarray(np.asarray(ms.mp_valid)
+                             & (np.asarray(ms.mp_map) == cur_map))
+
+        # KF poses: T'_cw2 = T_cw1 * S_12  (fold scale into translation)
+        T_all = lie.sim3_from_se3(lie.SE3(ms.kf_q, ms.kf_t))
+        T_new = lie.sim3_compose(T_all, lie.Sim3(
+            jnp.broadcast_to(S_12.q, (K, 4)),
+            jnp.broadcast_to(S_12.t, (K, 3)),
+            jnp.broadcast_to(S_12.s, (K,))))
+        q_new = lie.quat_normalize(T_new.q)
+        t_new = T_new.t / jnp.maximum(T_new.s[:, None], 1e-9)
+
+        # MP positions: x2 = S_21(x1)
+        mp_new = lie.sim3_apply(S_21, ms.mp_pos)
+
+        ms = ms._replace(
+            kf_q=jnp.where(in_cur[:, None], q_new, ms.kf_q),
+            kf_t=jnp.where(in_cur[:, None], t_new, ms.kf_t),
+            kf_map=jnp.where(in_cur, tgt_map, ms.kf_map),
+            mp_pos=jnp.where(mp_cur[:, None], mp_new, ms.mp_pos),
+            mp_map=jnp.where(mp_cur, tgt_map, ms.mp_map),
+            map_valid=ms.map_valid.at[cur_map].set(False),
+            map_change=ms.map_change.at[tgt_map].add(1),
+        )
+        # distance bounds scale by 1/s21? sim3_apply scales distances by s
+        ms = ms._replace(
+            mp_min_dist=jnp.where(mp_cur, ms.mp_min_dist * S_21.s,
+                                  ms.mp_min_dist),
+            mp_max_dist=jnp.where(mp_cur, ms.mp_max_dist * S_21.s,
+                                  ms.mp_max_dist))
+        sysm.ms = ms
+
+        # retarget every agent of the absorbed map (reference :2595-2603)
+        for a in sysm.agents:
+            if a.map_id == cur_map:
+                a.map_id = tgt_map
+                if a.q is not None and a.agent_id == agent_id:
+                    T_a = lie.sim3_from_se3(lie.SE3(a.q, a.t))
+                    T_an = lie.sim3_compose(T_a, S_12)
+                    a.q = lie.quat_normalize(T_an.q)
+                    a.t = T_an.t / jnp.maximum(T_an.s, 1e-9)
+
+        # weld: fuse duplicate points around the seam, refresh, local BA
+        local_mask = sysm.fns["local_mp_mask"](sysm.ms, jnp.asarray(
+            h.target_kf), 16)
+        ms2, _ = sysm.fns["fuse_step"](sysm.ms, jnp.asarray(kf), local_mask,
+                                       sysm.cam.params)
+        sysm.ms = sysm.fns["refresh_stats"](ms2, ms2.mp_valid)
+        sysm.ms = sysm.fns["local_ba"](sysm.ms, jnp.asarray(kf),
+                                       sysm.cam.params)
+        self.events.append(
+            f"MERGE agent={agent_id} map {cur_map} -> {tgt_map} "
+            f"kf={kf} target={h.target_kf}")

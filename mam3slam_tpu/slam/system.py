@@ -172,8 +172,12 @@ def _compiled(cfg: SlamConfig, kind: int):
         opt_mask = jnp.zeros((ms.kf_valid.shape[0],), bool).at[
             jnp.where(ok, idx, center_kf)].set(True).at[center_kf].set(True)
         opt_mask = opt_mask & ms.kf_valid
-        # keep the map origin fixed (reference fixes KF 0 / first KFs)
-        opt_mask = opt_mask.at[0].set(False).at[1].set(False)
+        # keep the center KF's map origin (its two lowest KF slots) fixed
+        # — per-map gauge anchors (reference fixes the map-origin KFs)
+        in_map = ms.kf_valid & (ms.kf_map == ms.kf_map[center_kf])
+        anchor1 = jnp.argmax(in_map)
+        anchor2 = jnp.argmax(in_map.at[anchor1].set(False))
+        opt_mask = opt_mask.at[anchor1].set(False).at[anchor2].set(False)
         cam = cam_mod.Camera(cam_params, kind)
         prob = steps.build_local_ba_problem(ms, opt_mask, cam, is2)
         res = ba_mod.run_ba(prob, kind, iters=cfg.lba_iters,
@@ -210,16 +214,17 @@ def _compiled(cfg: SlamConfig, kind: int):
 
     @jax.jit
     def create_initial_map(ms, frame1, frame2, q2, t2, mp_src_feat1,
-                           mp_src_feat2, mp_ok, X, cam_params, map_id):
+                           mp_src_feat2, mp_ok, X, cam_params, map_id,
+                           agent):
         """Two keyframes + triangulated points + wiring (reference
         Tracking::CreateInitialMapMonocular)."""
         F = frame1.uv.shape[0]
         ms, kf1 = S.add_keyframe(
-            ms, lie.quat_identity(), jnp.zeros(3), 0, map_id, 0.0, 0,
+            ms, lie.quat_identity(), jnp.zeros(3), agent, map_id, 0.0, 0,
             frame1.uv, frame1.level, frame1.angle, frame1.desc,
             frame1.valid, jnp.full((F,), S.NO_MP, jnp.int32))
         ms, kf2 = S.add_keyframe(
-            ms, q2, t2, 0, map_id, 0.0, 1,
+            ms, q2, t2, agent, map_id, 0.0, 1,
             frame2.uv, frame2.level, frame2.angle, frame2.desc,
             frame2.valid, jnp.full((F,), S.NO_MP, jnp.int32))
         ms = steps.add_triangulated_points(ms, kf1, kf2, mp_ok, X,
@@ -232,28 +237,33 @@ def _compiled(cfg: SlamConfig, kind: int):
         return ms, kf1, kf2
 
     @jax.jit
-    def initial_gba_and_rescale(ms, cam_params):
-        """20-iteration full BA on the 2-KF map then inverse-median-depth
-        normalization (reference :2498-2531)."""
+    def initial_gba_and_rescale(ms, cam_params, kf1, map_id):
+        """20-iteration full BA on the new 2-KF map then inverse-median-
+        depth normalization (reference :2498-2531).  Scoped to `map_id` so
+        later agents' initializations never touch existing maps."""
         cam = cam_mod.Camera(cam_params, kind)
-        opt_mask = ms.kf_valid.at[0].set(False)  # fix first KF only
+        in_map_kf = ms.kf_valid & (ms.kf_map == map_id)
+        in_map_mp = ms.mp_valid & (ms.mp_map == map_id)
+        opt_mask = in_map_kf.at[kf1].set(False)
         prob = steps.build_local_ba_problem(ms, opt_mask, cam, is2)
         res = ba_mod.run_ba(prob, kind, iters=20, cg_iters=20)
         ms = steps.apply_ba_result(ms, res, opt_mask, prob.pt_free)
-        # median depth in KF1 frame
-        Xc = lie.quat_rotate(ms.kf_q[0][None], ms.mp_pos) + ms.kf_t[0][None]
-        depths = jnp.where(ms.mp_valid, Xc[:, 2], jnp.nan)
+        # median depth in the first KF's frame
+        Xc = lie.quat_rotate(ms.kf_q[kf1][None], ms.mp_pos) + ms.kf_t[kf1][None]
+        depths = jnp.where(in_map_mp, Xc[:, 2], jnp.nan)
         med = jnp.nanmedian(depths)
         inv = 1.0 / jnp.maximum(med, 1e-6)
         ms = ms._replace(
-            mp_pos=jnp.where(ms.mp_valid[:, None], ms.mp_pos * inv,
+            mp_pos=jnp.where(in_map_mp[:, None], ms.mp_pos * inv,
                              ms.mp_pos),
-            kf_t=jnp.where(ms.kf_valid[:, None], ms.kf_t * inv, ms.kf_t),
+            kf_t=jnp.where(in_map_kf[:, None], ms.kf_t * inv, ms.kf_t),
             # scale-invariance distance bounds scale with the map
-            mp_min_dist=ms.mp_min_dist * inv,
-            mp_max_dist=ms.mp_max_dist * inv)
-        ms = S.refresh_mp_stats(ms, ms.mp_valid, sf)
-        ok = (med > 1e-3) & (jnp.sum(ms.mp_valid) > 50)
+            mp_min_dist=jnp.where(in_map_mp, ms.mp_min_dist * inv,
+                                  ms.mp_min_dist),
+            mp_max_dist=jnp.where(in_map_mp, ms.mp_max_dist * inv,
+                                  ms.mp_max_dist))
+        ms = S.refresh_mp_stats(ms, in_map_mp, sf)
+        ok = (med > 1e-3) & (jnp.sum(in_map_mp) > 50)
         return ms, ok
 
     @jax.jit
@@ -315,6 +325,7 @@ class SlamSystem:
         self.key = jax.random.PRNGKey(seed)
         self.events: List[str] = []
         self.next_map_id = 0
+        self.server = None  # optional LoopServer (slam/server.py)
 
     def add_agent(self) -> int:
         a = AgentState(agent_id=len(self.agents), cam=self.cam)
@@ -368,8 +379,9 @@ class SlamSystem:
             self.ms, a.init_frame, frame, q2, t2,
             jnp.arange(cfg.n_feat, dtype=jnp.int32),
             jnp.clip(res.idx, 0), rec.is_triangulated & res.ok,
-            rec.points3d, self.cam.params, a.map_id)
-        ms, ok = self.fns["initial_gba_and_rescale"](ms, self.cam.params)
+            rec.points3d, self.cam.params, a.map_id, a.agent_id)
+        ms, ok = self.fns["initial_gba_and_rescale"](
+            ms, self.cam.params, kf1, jnp.asarray(a.map_id))
         if not bool(ok):
             return
         self.ms = ms
@@ -484,6 +496,8 @@ class SlamSystem:
         a.ref_kf = kf
         a.ref_kf_tracked = int((np.asarray(feat_mp_in) >= 0).sum())
         self._local_mapping(a, kf)
+        if self.server is not None:
+            self.server.process_keyframe(a.agent_id, kf)
 
     # ------------------------------------------------------------------
     def _local_mapping(self, a: AgentState, kf: int):
