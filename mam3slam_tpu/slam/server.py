@@ -57,6 +57,7 @@ class Hypothesis:
     q: Optional[np.ndarray] = None
     t: Optional[np.ndarray] = None
     s: float = 1.0
+    last_kf: int = -1  # KF whose camera frame (q, t, s) refers to
 
 
 @dataclass
@@ -161,7 +162,7 @@ class LoopServer:
             q, t, s = res
             self.hyp[agent_id] = Hypothesis(
                 target_kf=cand, is_merge=is_merge, n_coincidences=1,
-                q=q, t=t, s=s)
+                q=q, t=t, s=s, last_kf=kf)
             break
         return None
 
@@ -306,19 +307,15 @@ class LoopServer:
         # stored hypothesis keyframe is not available; use matched map
         # projection with the stored Scw directly transformed by relative
         # motion of the agent since last KF:
-        a = self.sys.agents[agent_id]
-        # relative motion: T_cur_cw * T_prevkf_cw^-1 in map-1 frame
-        prev_kf = getattr(h, "_last_kf", None)
+        # relative motion: T_cur_cw * T_prevkf_cw^-1 in the agent's own map
+        prev_kf = h.last_kf
         S_prev = lie.Sim3(jnp.asarray(h.q), jnp.asarray(h.t),
                           jnp.asarray(h.s, jnp.float32))
-        if prev_kf is not None:
-            T_cur = lie.sim3_from_se3(lie.SE3(ms.kf_q[kf], ms.kf_t[kf]))
-            T_prev = lie.sim3_from_se3(
-                lie.SE3(ms.kf_q[prev_kf], ms.kf_t[prev_kf]))
-            rel = lie.sim3_compose(T_cur, lie.sim3_inverse(T_prev))
-            S_cur = lie.sim3_compose(rel, S_prev)
-        else:
-            S_cur = S_prev
+        T_cur = lie.sim3_from_se3(lie.SE3(ms.kf_q[kf], ms.kf_t[kf]))
+        T_prev = lie.sim3_from_se3(
+            lie.SE3(ms.kf_q[prev_kf], ms.kf_t[prev_kf]))
+        rel = lie.sim3_compose(T_cur, lie.sim3_inverse(T_prev))
+        S_cur = lie.sim3_compose(rel, S_prev)
 
         mp_mask = self._candidate_window_points(h.target_kf)
         proj = lie.sim3_apply(S_cur, ms.mp_pos)
@@ -333,13 +330,10 @@ class LoopServer:
             M.unpack_desc(ms.kf_feat_desc[kf]), ms.kf_feat_valid[kf],
             level_lo=8, level_hi=8)
         n = int(np.asarray(mres.ok).sum())
-        if n >= self.cfg.n_proj_opt_matches:
-            h.q, h.t, h.s = (np.asarray(S_cur.q), np.asarray(S_cur.t),
-                             float(S_cur.s))
-            h._last_kf = kf
-            return True
-        h._last_kf = kf
-        return False
+        h.q, h.t, h.s = (np.asarray(S_cur.q), np.asarray(S_cur.t),
+                         float(S_cur.s))
+        h.last_kf = kf
+        return n >= self.cfg.n_proj_opt_matches
 
     # ------------------------------------------------------------------
     def _trigger(self, agent_id: int, kf: int, h: Hypothesis):

@@ -412,18 +412,20 @@ class SlamSystem:
             self.ms, jnp.asarray(a.ref_kf), 32)
 
         # --- motion-model / coarse stage: wider radius, matched points only
+        # coarse radius ~15 px for mono motion-model search (reference
+        # SearchByProjection th=15, src/Tracking.cc TrackWithMotionModel)
         feat_mp, n_m, q, t, inlier, n_in, visible = self.fns[
             "match_and_pose"](self.ms, frame, q_pred, t_pred,
                               self.cam.params, local_mask,
-                              jnp.asarray(3.0), M.TH_HIGH, jnp.asarray(0.9))
+                              jnp.asarray(6.0), M.TH_HIGH, jnp.asarray(0.9))
         n_in_i = int(n_in)
         if n_in_i < cfg.min_track_inliers_lost:
-            # widen search (reference widens 2x then falls back to BoW
+            # widen 2x (reference widens 2x then falls back to BoW
             # reference-KF tracking)
             feat_mp, n_m, q, t, inlier, n_in, visible = self.fns[
                 "match_and_pose"](self.ms, frame, q_pred, t_pred,
                                   self.cam.params, local_mask,
-                                  jnp.asarray(6.0), M.TH_HIGH,
+                                  jnp.asarray(12.0), M.TH_HIGH,
                                   jnp.asarray(0.9))
             n_in_i = int(n_in)
 
