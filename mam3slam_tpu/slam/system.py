@@ -450,8 +450,17 @@ class SlamSystem:
                 a.frames_lost = 0
             else:
                 a.frames_lost += 1
-                if a.frames_lost > cfg.recently_lost_frames:
-                    a.state = LOST
+            # relocalization attempt (BoW over ALL maps — the reference
+            # deliberately disables the map filter, enabling cross-map /
+            # cross-agent re-entry; src/Tracking.cc:3339,3491)
+            if a.state == RECENTLY_LOST and self._relocalize(a, frame):
+                a.state = OK
+                a.frames_since_kf += 1
+                return
+            if a.frames_lost > cfg.recently_lost_frames:
+                a.state = LOST
+                self._create_map_in_atlas(a)
+                return
             # keep predicted pose; velocity unchanged
             a.q, a.t = q_pred, t_pred
             a.frames_since_kf += 1
@@ -471,6 +480,84 @@ class SlamSystem:
 
         if self._need_new_keyframe(a, n_in_i):
             self._create_keyframe(a, frame, feat_mp, inlier, ts)
+
+    # ------------------------------------------------------------------
+    def _relocalize(self, a: AgentState, frame) -> bool:
+        """Tracking::Relocalization (:3339): BoW candidates over all maps,
+        PnP RANSAC per candidate, pose refinement against the candidate's
+        local map; success in a foreign map retargets the agent."""
+        if self.server is None or self.server.voc is None:
+            return False
+        from mam3slam_tpu.ops import bow as bow_mod
+        from mam3slam_tpu.solvers import pnp as pnp_mod
+
+        srv = self.server
+        ms = self.ms
+        bits_f = M.unpack_desc(frame.desc)
+        words = bow_mod.quantize(srv.voc, bits_f)
+        vec = bow_mod.bow_vector(srv.voc, words, frame.valid)
+        scores = np.array(bow_mod.l1_scores(vec, jnp.asarray(srv.kf_bow)))
+        scores[~np.asarray(ms.kf_valid)] = -1
+        cands = np.argsort(scores)[::-1][:5]
+        for cand in cands:
+            if scores[cand] <= 0:
+                break
+            cand = int(cand)
+            has2 = ms.kf_feat_valid[cand] & (ms.kf_feat_mp[cand] >= 0)
+            res = M.search_by_brute_force(
+                bits_f, frame.valid, frame.angle,
+                M.unpack_desc(ms.kf_feat_desc[cand]), has2,
+                ms.kf_feat_angle[cand])
+            if int(res.ok.sum()) < 15:
+                continue
+            mp = ms.kf_feat_mp[cand][jnp.clip(res.idx, 0)]
+            pts = ms.mp_pos[jnp.clip(mp, 0)]
+            ok = res.ok & (mp >= 0) & ms.mp_valid[jnp.clip(mp, 0)]
+            self.key, sub = jax.random.split(self.key)
+            pr = pnp_mod.ransac_pnp(
+                pts, frame.uv, ok, self.cam, sub,
+                jnp.asarray(self.cfg.inv_sigma2)[frame.level])
+            if not bool(pr.ok):
+                continue
+            # refine against the candidate's local map
+            local_mask = self.fns["local_mp_mask"](ms, jnp.asarray(cand), 32)
+            feat_mp, n_m, q, t, inlier, n_in, visible = self.fns[
+                "match_and_pose"](ms, frame, pr.q, pr.t, self.cam.params,
+                                  local_mask, jnp.asarray(4.0), M.TH_HIGH,
+                                  jnp.asarray(0.9))
+            if int(n_in) < 30:
+                continue
+            old_map = a.map_id
+            new_map = int(ms.kf_map[cand])
+            a.q, a.t = q, t
+            a.vel_q, a.vel_t = None, None
+            a.ref_kf = cand
+            a.last_feat_mp = feat_mp
+            a.frames_lost = 0
+            if new_map != old_map:
+                a.map_id = new_map  # cross-map re-entry (reference :3491)
+            self.events.append(
+                f"RELOC agent={a.agent_id} kf={cand} map {old_map} -> "
+                f"{new_map}")
+            return True
+        return False
+
+    # ------------------------------------------------------------------
+    def _create_map_in_atlas(self, a: AgentState):
+        """Tracking::CreateMapInAtlas (:2589): the agent abandons tracking
+        in its current map and starts a fresh map; the old map stays in the
+        atlas and remains mergeable by the server."""
+        a.map_id = self.next_map_id
+        self.next_map_id += 1
+        a.state = NOT_INITIALIZED
+        a.init_frame = None
+        a.q = None
+        a.t = None
+        a.vel_q, a.vel_t = None, None
+        a.ref_kf = -1
+        a.frames_lost = 0
+        self.events.append(
+            f"NEWMAP agent={a.agent_id} map={a.map_id}")
 
     # ------------------------------------------------------------------
     def _need_new_keyframe(self, a: AgentState, n_in: int) -> bool:
