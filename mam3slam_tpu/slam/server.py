@@ -415,7 +415,12 @@ class LoopServer:
         local_mask = sysm.fns["local_mp_mask"](ms, jnp.asarray(kf), 16)
         ms, _ = sysm.fns["fuse_step"](ms, jnp.asarray(kf), local_mask,
                                       sysm.cam.params)
-        sysm.ms = sysm.fns["refresh_stats"](ms, ms.mp_valid)
+        ms = sysm.fns["refresh_stats"](ms, ms.mp_valid)
+        # conditional global BA (reference :1766-1775: map < 200 KFs)
+        if int(np.asarray(in_map).sum()) < 200:
+            ms = sysm.fns["global_ba"](ms, jnp.asarray(kf_map),
+                                       sysm.cam.params)
+        sysm.ms = ms
         self.events.append(
             f"LOOP agent={agent_id} kf={kf} target={h.target_kf} "
             f"map={kf_map}")

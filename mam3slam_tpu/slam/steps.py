@@ -282,6 +282,35 @@ def fuse_into_kf(ms: S.MapState, kf, mp_mask, cam: cam_mod.Camera,
 # local BA wiring
 # ---------------------------------------------------------------------------
 
+def keyframe_redundancy(ms: S.MapState, kf, scale_margin: int = 1):
+    """Fraction of kf's tracked map points seen by >= 3 OTHER keyframes at
+    the same or finer scale (reference LocalMapping::KeyFrameCulling
+    :1018-1116: cull when >= 90%).
+
+    Returns (redundant_frac, n_tracked).
+    """
+    F = ms.kf_feat_mp.shape[1]
+    Mo = ms.mp_obs_kf.shape[1]
+    mp = ms.kf_feat_mp[kf]
+    has = (mp >= 0) & ms.kf_feat_valid[kf] & ms.mp_valid[jnp.clip(mp, 0)]
+    mp_c = jnp.clip(mp, 0)
+    my_level = ms.kf_feat_level[kf]                        # [F]
+    obs_kf = ms.mp_obs_kf[mp_c]                            # [F, M]
+    obs_feat = ms.mp_obs_feat[mp_c]                        # [F, M]
+    obs_ok = ((jnp.arange(Mo)[None, :] < ms.mp_nobs[mp_c][:, None])
+              & (obs_kf >= 0) & (obs_kf != kf))
+    obs_ok = obs_ok & ms.kf_valid[jnp.clip(obs_kf, 0)]
+    other_level = ms.kf_feat_level[jnp.clip(obs_kf, 0),
+                                   jnp.clip(obs_feat, 0)]  # [F, M]
+    finer = obs_ok & (other_level <= my_level[:, None] + scale_margin)
+    n_other = jnp.sum(finer, axis=-1)                      # [F]
+    redundant = has & (n_other >= 3)
+    n_tracked = jnp.sum(has.astype(jnp.int32))
+    frac = jnp.sum(redundant.astype(jnp.float32)) / jnp.maximum(
+        n_tracked.astype(jnp.float32), 1.0)
+    return frac, n_tracked
+
+
 def build_local_ba_problem(ms: S.MapState, opt_kf_mask, cam: cam_mod.Camera,
                            inv_sigma2):
     """Assemble a BAProblem over the full arenas with masks:

@@ -202,6 +202,27 @@ def _compiled(cfg: SlamConfig, kind: int):
         return ms
 
     @jax.jit
+    def global_ba(ms, map_id, cam_params):
+        """Full-map BA (reference RunGlobalBundleAdjustment :3579; 10
+        iters).  Synchronous epoch — no catch-up propagation needed."""
+        in_map = ms.kf_valid & (ms.kf_map == map_id)
+        anchor1 = jnp.argmax(in_map)
+        opt_mask = in_map.at[anchor1].set(False)
+        cam = cam_mod.Camera(cam_params, kind)
+        prob = steps.build_local_ba_problem(ms, opt_mask, cam, is2)
+        res = ba_mod.run_ba(prob, kind, iters=10, cg_iters=40)
+        ms = steps.apply_ba_result(ms, res, opt_mask, prob.pt_free)
+        return ms
+
+    @jax.jit
+    def kf_redundancy(ms, kf):
+        return steps.keyframe_redundancy(ms, kf)
+
+    @jax.jit
+    def remove_kf(ms, kf):
+        return S.remove_keyframe(ms, kf)
+
+    @jax.jit
     def cull_map_points(ms, current_kf):
         """MapPointCulling: weak found/visible ratio, or failed to gain
         observations shortly after creation (agent-recency windows)."""
@@ -278,6 +299,8 @@ def _compiled(cfg: SlamConfig, kind: int):
         return ms, kf
 
     return dict(match_and_pose=match_and_pose, local_mp_mask=local_mp_mask,
+                kf_redundancy=kf_redundancy, remove_kf=remove_kf,
+                global_ba=global_ba,
                 update_found_visible=update_found_visible,
                 init_match=init_match, reconstruct=reconstruct,
                 triangulate_step=triangulate_step, fuse_step=fuse_step,
@@ -616,6 +639,34 @@ class SlamSystem:
         # local BA
         if int(ms.n_kf) > 2:
             ms = self.fns["local_ba"](ms, jnp.asarray(kf), self.cam.params)
+
+        # keyframe culling over the covisible window (reference
+        # KeyFrameCulling: >=90% of tracked points redundant in >=3 other
+        # KFs at same/finer scale; bail after a couple per pass)
+        idx, w, ok = S.best_covisible(ms, jnp.asarray(kf), 10)
+        idx_np, ok_np = np.asarray(idx), np.asarray(ok)
+        kf_map_np = np.asarray(ms.kf_map)
+        kf_valid_np = np.asarray(ms.kf_valid)
+        protected = {kf}
+        for ag in self.agents:
+            protected.add(ag.ref_kf)
+        # per-map anchor slots (two lowest valid) are never culled
+        map_id = kf_map_np[kf]
+        anchors = np.where(kf_valid_np & (kf_map_np == map_id))[0][:2]
+        protected.update(int(x) for x in anchors)
+        culled = 0
+        for j in range(len(idx_np)):
+            if not ok_np[j]:
+                continue
+            cand = int(idx_np[j])
+            if cand in protected:
+                continue
+            frac, ntr = self.fns["kf_redundancy"](ms, jnp.asarray(cand))
+            if float(frac) >= 0.9 and int(ntr) > 20:
+                ms = self.fns["remove_kf"](ms, jnp.asarray(cand))
+                culled += 1
+                if culled >= 2:
+                    break
         self.ms = ms
 
     # ------------------------------------------------------------------
