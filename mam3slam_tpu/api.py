@@ -1,0 +1,128 @@
+"""Public API facade: MultiAgentSystem / Agent.
+
+Mirrors the reference's layer-9 API (``include/MultiAgentSystem.h:65-96``,
+``include/Agent.h:182-249`` — SURVEY.md §2.1): construct the shared system,
+``add_agent(settings_yaml)``, feed images with ``track_monocular``, query
+``get_agents_in_map``, ``shutdown`` + artifact export.
+
+Differences from the reference, by design:
+* no vocabulary text file is required — the BoW vocabulary is trained from
+  the stream (or pass one built with ``ops.bow.build_vocabulary``);
+* per-agent settings must agree on image geometry (agents share batched
+  device pipelines; heterogeneous rigs are a declared round-2 item);
+* the viewer is headless (io/viewer.py) — no Pangolin.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from mam3slam_tpu.io import settings as settings_mod
+from mam3slam_tpu.io import writers
+from mam3slam_tpu.ops import bow as bow_mod
+from mam3slam_tpu.ops import orb as orb_mod
+from mam3slam_tpu.slam import steps
+from mam3slam_tpu.slam.server import LoopServer, ServerConfig
+from mam3slam_tpu.slam.system import SlamConfig, SlamSystem
+
+
+class MultiAgentSystem:
+    """Owns the shared map state, the centralized loop server, and agents."""
+
+    def __init__(self, vocabulary: Optional[bow_mod.Vocabulary] = None,
+                 active_loop_closing: bool = True,
+                 server_config: Optional[ServerConfig] = None,
+                 slam_config: Optional[SlamConfig] = None, seed: int = 0):
+        self._vocab = vocabulary
+        self._active_lc = active_loop_closing
+        self._server_cfg = server_config or ServerConfig()
+        self._slam_cfg = slam_config
+        self._seed = seed
+        self.sys: Optional[SlamSystem] = None
+        self.server: Optional[LoopServer] = None
+        self._settings: List[settings_mod.Settings] = []
+        self._orb_cfgs = []
+        self._extract_fns = []
+
+    # -- reference: MultiAgentSystem::addAgent(settingsYaml) ----------------
+    def add_agent(self, settings_yaml: str) -> int:
+        import jax
+
+        st = settings_mod.load_settings(settings_yaml)
+        if self.sys is None:
+            cfg = self._slam_cfg or SlamConfig(
+                width=st.width, height=st.height,
+                cam_kind=st.camera().kind,
+                n_levels=st.n_levels, scale_factor=st.scale_factor,
+                n_feat=orb_mod.OrbConfig(
+                    height=st.height, width=st.width,
+                    n_features=st.n_features, n_levels=st.n_levels,
+                    scale_factor=st.scale_factor).capacity)
+            self.sys = SlamSystem(cfg, st.camera(), seed=self._seed)
+            if self._active_lc:
+                self.server = LoopServer(self.sys, self._server_cfg,
+                                         vocab=self._vocab,
+                                         seed=self._seed)
+                self.sys.server = self.server
+        else:
+            if (st.width, st.height) != (self._settings[0].width,
+                                         self._settings[0].height):
+                raise ValueError(
+                    "all agents must share image geometry in this build")
+        self._settings.append(st)
+        ocfg = orb_mod.OrbConfig(
+            height=st.height, width=st.width, n_features=st.n_features,
+            n_levels=st.n_levels, scale_factor=st.scale_factor,
+            ini_th=st.ini_th_fast, min_th=st.min_th_fast)
+        self._orb_cfgs.append(ocfg)
+        cam = st.camera()
+
+        @jax.jit
+        def extract(img):
+            feats = orb_mod.extract_orb(img, ocfg)
+            feats = orb_mod.with_undistorted(feats, cam)
+            return feats
+
+        self._extract_fns.append(extract)
+        return self.sys.add_agent()
+
+    # -- reference: Agent::TrackMonocular ----------------------------------
+    def track_monocular(self, agent_id: int, image: np.ndarray, ts: float):
+        """Grayscale image [H, W] (uint8 or f32 0..255) -> (state, pose)."""
+        import jax.numpy as jnp
+
+        img = jnp.asarray(np.asarray(image, np.float32))
+        feats = self._extract_fns[agent_id](img)
+        frame = steps.FrameObs(uv=feats.uv, level=feats.level,
+                               angle=feats.angle, desc=feats.desc,
+                               valid=feats.valid)
+        return self.sys.track(agent_id, frame, ts)
+
+    # -- reference: MultiAgentSystem::GetAgentsInMap ------------------------
+    def get_agents_in_map(self, map_id: int) -> List[int]:
+        return [a.agent_id for a in self.sys.agents if a.map_id == map_id]
+
+    @property
+    def agents(self):
+        return self.sys.agents if self.sys else []
+
+    # -- reference: Shutdown + Save* ---------------------------------------
+    def shutdown(self, out_dir: Optional[str] = None):
+        if out_dir:
+            writers.save_all(self.sys, self.server, out_dir)
+
+    def save_kf_trajectory(self, path: str):
+        writers.save_kf_trajectory(self.sys, path)
+
+    def save_trajectory(self, agent_id: int, path: str):
+        writers.save_trajectory(self.sys, agent_id, path)
+
+    def save_times(self, out_dir: str):
+        os.makedirs(out_dir, exist_ok=True)
+        for a in self.sys.agents:
+            writers.save_times(self.sys, a.agent_id,
+                               os.path.join(out_dir,
+                                            f"TimesT_{a.agent_id}.txt"))

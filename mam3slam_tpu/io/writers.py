@@ -1,0 +1,166 @@
+"""Run-artifact writers matching the reference output schema exactly
+(SURVEY.md §3.5 / §5: ``output/Trajectory_{i}.txt``, ``KF_traj.txt``,
+``MapLogs.txt``, ``TrackingStatus_{i}.txt``, ``reloc.txt``,
+``Times*.txt``) so evaluation tooling built for the reference runs
+unchanged, minus its hard-coded absolute paths."""
+
+from __future__ import annotations
+
+import os
+from typing import List
+
+import numpy as np
+
+from mam3slam_tpu.geometry import lie
+
+
+def _fmt_pose_row(ts, t, q_wxyz, extra=""):
+    qw, qx, qy, qz = q_wxyz
+    return (f"{ts:.6f} {t[0]:.9f} {t[1]:.9f} {t[2]:.9f} "
+            f"{qx:.9f} {qy:.9f} {qz:.9f} {qw:.9f}{extra}\n")
+
+
+def save_trajectory(system, agent_id: int, path: str):
+    """Per-frame camera trajectory (reference Agent::SaveTrajectory
+    ``src/Agent.cc:228-341``): Twc rows ``ts tx ty tz qx qy qz qw agent
+    ref_KF_ts``; frames tracked as LOST are skipped."""
+    import jax.numpy as jnp
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    a = system.agents[agent_id]
+    kf_ts = np.asarray(system.ms.kf_ts)
+    kf_q = np.asarray(system.ms.kf_q)
+    kf_t = np.asarray(system.ms.kf_t)
+    rows = ["ts tx ty tz qx qy qz qw agent ref_KF_ts\n"]
+    for ts, ref, q_rel, t_rel, st in a.trajectory:
+        if st != 2:  # OK only (reference skips lost frames)
+            continue
+        T_ref = lie.SE3(jnp.asarray(kf_q[ref]), jnp.asarray(kf_t[ref]))
+        T_cw = lie.se3_compose(
+            lie.SE3(jnp.asarray(q_rel), jnp.asarray(t_rel)), T_ref)
+        T_wc = lie.se3_inverse(T_cw)
+        rows.append(_fmt_pose_row(
+            ts, np.asarray(T_wc.t), np.asarray(T_wc.q),
+            extra=f" {agent_id} {kf_ts[ref]:.6f}"))
+    with open(path, "w") as f:
+        f.writelines(rows)
+
+
+def save_kf_trajectory(system, path: str):
+    """All keyframes of all maps (reference
+    MultiAgentSystem::SaveKFTrajectory :139-177): ``ts tx ty tz qx qy qz
+    qw agent map`` with Twc poses."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    ms = system.ms
+    valid = np.asarray(ms.kf_valid)
+    import jax.numpy as jnp
+
+    T_wc = lie.se3_inverse(lie.SE3(ms.kf_q, ms.kf_t))
+    q = np.asarray(T_wc.q)
+    t = np.asarray(T_wc.t)
+    ts = np.asarray(ms.kf_ts)
+    agent = np.asarray(ms.kf_agent)
+    kmap = np.asarray(ms.kf_map)
+    rows = ["ts tx ty tz qx qy qz qw agent map\n"]
+    for k in np.where(valid)[0]:
+        rows.append(_fmt_pose_row(
+            ts[k], t[k], q[k], extra=f" {agent[k]} {kmap[k]}"))
+    with open(path, "w") as f:
+        f.writelines(rows)
+
+
+def save_tracking_status(system, agent_id: int, path: str):
+    """``ts state`` per frame (reference Tracking::SaveStates)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    a = system.agents[agent_id]
+    with open(path, "w") as f:
+        for ts, ref, q_rel, t_rel, st in a.trajectory:
+            f.write(f"{ts:.6f} {st}\n")
+
+
+def save_map_logs(system, server, path: str):
+    """Map lifecycle events (reference ``MapLogs.txt``: creations in
+    Map ctor, merges in LoopClosing)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    lines = []
+    for e in system.events:
+        if e.startswith("INIT"):
+            kv = dict(p.split("=") for p in e.split()[1:])
+            lines.append(
+                f"Creation of map {kv['map']} with first KF ts 0.000000 "
+                f"from Agent {kv['agent']}\n")
+        elif e.startswith("NEWMAP"):
+            kv = dict(p.split("=") for p in e.split()[1:])
+            lines.append(
+                f"Creation of map {kv['map']} pending init "
+                f"from Agent {kv['agent']}\n")
+    if server is not None:
+        for e in server.events:
+            if e.startswith("MERGE"):
+                parts = e.split()
+                agent = parts[1].split("=")[1]
+                src, dst = parts[3], parts[5]
+                lines.append(
+                    f"Merge of map {src} into {dst} at KF of ts 0.000000 "
+                    f"from Agent {agent}\n")
+    with open(path, "w") as f:
+        f.writelines(lines)
+
+
+def save_reloc(system, path: str):
+    """``ts map_before map_after`` (reference reloc.txt,
+    src/Tracking.cc:3484-3493)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        for e in system.events:
+            if e.startswith("RELOC"):
+                # RELOC agent=i kf=k map A -> B
+                parts = e.split()
+                src, dst = parts[3], parts[5]
+                f.write(f"0.000000 {src} {dst}\n")
+
+
+def save_times(system, agent_id: int, path: str):
+    """Per-frame tracking wall time series (reference ``TimesT_i.txt``
+    via Agent::SaveTimes)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    a = system.agents[agent_id]
+    with open(path, "w") as f:
+        for ms in a.times_ms:
+            f.write(f"{ms:.3f}\n")
+
+
+def save_all(system, server, out_dir: str):
+    """Write the full artifact set the reference emits on Shutdown."""
+    os.makedirs(out_dir, exist_ok=True)
+    for a in system.agents:
+        i = a.agent_id
+        save_trajectory(system, i, os.path.join(out_dir,
+                                                f"Trajectory_{i}.txt"))
+        save_tracking_status(system, i, os.path.join(
+            out_dir, f"TrackingStatus_{i}.txt"))
+        save_times(system, i, os.path.join(out_dir, f"TimesT_{i}.txt"))
+    save_kf_trajectory(system, os.path.join(out_dir, "KF_traj.txt"))
+    save_map_logs(system, server, os.path.join(out_dir, "MapLogs.txt"))
+    save_reloc(system, os.path.join(out_dir, "reloc.txt"))
+
+
+# ---------------------------------------------------------------------------
+# evaluation
+# ---------------------------------------------------------------------------
+
+def ate_rmse(est_xyz: np.ndarray, gt_xyz: np.ndarray,
+             align_scale: bool = True) -> float:
+    """Absolute trajectory error after Sim3 (Umeyama) alignment — the
+    standard monocular EuRoC metric."""
+    mx, my = est_xyz.mean(0), gt_xyz.mean(0)
+    Xc, Yc = est_xyz - mx, gt_xyz - my
+    U, D, Vt = np.linalg.svd(Yc.T @ Xc / len(est_xyz))
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1
+    R = U @ S @ Vt
+    s = (np.trace(np.diag(D) @ S) / (Xc ** 2).sum() * len(est_xyz)
+         if align_scale else 1.0)
+    aligned = (s * (R @ Xc.T)).T + my
+    return float(np.sqrt(((aligned - gt_xyz) ** 2).sum(axis=1).mean()))

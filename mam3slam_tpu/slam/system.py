@@ -236,16 +236,16 @@ def _compiled(cfg: SlamConfig, kind: int):
     @jax.jit
     def create_initial_map(ms, frame1, frame2, q2, t2, mp_src_feat1,
                            mp_src_feat2, mp_ok, X, cam_params, map_id,
-                           agent):
+                           agent, ts1, ts2):
         """Two keyframes + triangulated points + wiring (reference
         Tracking::CreateInitialMapMonocular)."""
         F = frame1.uv.shape[0]
         ms, kf1 = S.add_keyframe(
-            ms, lie.quat_identity(), jnp.zeros(3), agent, map_id, 0.0, 0,
+            ms, lie.quat_identity(), jnp.zeros(3), agent, map_id, ts1, 0,
             frame1.uv, frame1.level, frame1.angle, frame1.desc,
             frame1.valid, jnp.full((F,), S.NO_MP, jnp.int32))
         ms, kf2 = S.add_keyframe(
-            ms, q2, t2, agent, map_id, 0.0, 1,
+            ms, q2, t2, agent, map_id, ts2, 1,
             frame2.uv, frame2.level, frame2.angle, frame2.desc,
             frame2.valid, jnp.full((F,), S.NO_MP, jnp.int32))
         ms = steps.add_triangulated_points(ms, kf1, kf2, mp_ok, X,
@@ -381,12 +381,14 @@ class SlamSystem:
         cfg = self.cfg
         if a.init_frame is None or a.state == NO_IMAGES_YET:
             a.init_frame = frame
+            a.init_ts = ts
             a.state = NOT_INITIALIZED
             return
         res = self.fns["init_match"](a.init_frame, frame)
         n = int(res.ok.sum())
         if n < cfg.min_init_matches:
             a.init_frame = frame  # re-anchor (reference resets initializer)
+            a.init_ts = ts
             return
         # compact matched pairs: row i of frame1 matched to idx[i] of frame2
         uv1 = a.init_frame.uv
@@ -402,7 +404,9 @@ class SlamSystem:
             self.ms, a.init_frame, frame, q2, t2,
             jnp.arange(cfg.n_feat, dtype=jnp.int32),
             jnp.clip(res.idx, 0), rec.is_triangulated & res.ok,
-            rec.points3d, self.cam.params, a.map_id, a.agent_id)
+            rec.points3d, self.cam.params, a.map_id, a.agent_id,
+            jnp.asarray(getattr(a, 'init_ts', ts), jnp.float32),
+            jnp.asarray(ts, jnp.float32))
         ms, ok = self.fns["initial_gba_and_rescale"](
             ms, self.cam.params, kf1, jnp.asarray(a.map_id))
         if not bool(ok):
