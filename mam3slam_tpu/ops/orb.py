@@ -184,9 +184,11 @@ def fast_score_map(img: jnp.ndarray) -> jnp.ndarray:
     diffs = shifted - img[None]
 
     def arc_min(d):
-        wm = d
+        # circular windows as slices of a wrapped copy (cheaper than rolls)
+        d_ext = jnp.concatenate([d, d[:8]], axis=0)  # [24, H, W]
+        wm = d_ext[0:16]
         for k in range(1, 9):
-            wm = jnp.minimum(wm, jnp.roll(d, -k, axis=0))
+            wm = jnp.minimum(wm, d_ext[k: k + 16])
         return jnp.max(wm, axis=0)  # max over arc starts
 
     score_dark = arc_min(-diffs)   # center brighter than arc
@@ -291,6 +293,37 @@ def _circular_umax() -> np.ndarray:
     return umax
 
 
+@functools.lru_cache(maxsize=None)
+def _ic_weight_tables():
+    """(wx, wy) [31, 31] f32: patch-coordinate weights under the circular
+    mask, for gather-based IC angles."""
+    r = HALF_PATCH
+    umax = _circular_umax()
+    ys, xs = np.mgrid[-r: r + 1, -r: r + 1]
+    mask = np.abs(xs) <= umax[np.abs(ys)]
+    return ((xs * mask).astype(np.float32), (ys * mask).astype(np.float32))
+
+
+def ic_angles(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """IC orientation at integer keypoints via patch gathers.
+
+    The production path inside extract_orb: one [N, 31, 31] gather + two
+    weighted reductions per level (vs ~500 cumsum kernels for the dense
+    moment maps — the dense form below remains for full-image analyses).
+    """
+    r = HALF_PATCH
+    h, w = img.shape
+    wx_np, wy_np = _ic_weight_tables()
+    wx, wy = jnp.asarray(wx_np), jnp.asarray(wy_np)
+    dy, dx = jnp.mgrid[-r: r + 1, -r: r + 1]
+    gy = jnp.clip(xy[:, 1, None, None] + dy[None], 0, h - 1)
+    gx = jnp.clip(xy[:, 0, None, None] + dx[None], 0, w - 1)
+    patch = img[gy, gx]  # [N, 31, 31]
+    m10 = jnp.sum(patch * wx[None], axis=(1, 2))
+    m01 = jnp.sum(patch * wy[None], axis=(1, 2))
+    return jnp.arctan2(m01, m10)
+
+
 def orientation_maps(img: jnp.ndarray):
     """m10/m01 moment maps over the circular r=15 patch; gathering these at
     a keypoint gives its IC angle (reference IC_Angle, ORBextractor.cc:76).
@@ -388,9 +421,7 @@ def extract_orb(img: jnp.ndarray, cfg: OrbConfig) -> Features:
             continue
         score = fast_score_map(im)
         xy_i, resp, valid = _select_level_keypoints(score, cfg, budget)
-        m10, m01 = orientation_maps(im)
-        ang = jnp.arctan2(m01[xy_i[:, 1], xy_i[:, 0]],
-                          m10[xy_i[:, 1], xy_i[:, 0]])
+        ang = ic_angles(im, xy_i)
         # Round the blurred image to the integer grid: camera images are
         # uint8, and rounding makes descriptors bit-exact with OpenCV ORB
         # (ties in pattern-pair comparisons resolve identically).
