@@ -314,11 +314,31 @@ def pose_optimization(q0, t0, cam_params, kind: int, pts, uv, w, valid,
         return r, Jc, chi2, depth_ok
 
     def lm_rounds(q, t, active, robust):
-        """10 LM iterations over the currently-active edge set."""
+        """LM iterations with ONE linearization per iteration: the trial
+        point's cost is evaluated at the START of the next iteration (the
+        same linearization that would compute its step), halving the
+        sequential kernel count vs the classic evaluate-then-accept loop.
+        Carry: (best_q, best_t, best_cost, cur_q, cur_t, lam)."""
+
+        def robust_cost(chi2, depth_ok):
+            rho = jnp.where(chi2 <= delta2, chi2,
+                            2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 1e-12))
+                            - delta2)
+            return jnp.sum(jnp.where(active & depth_ok, rho, 0.0))
 
         def body(_, carry):
-            q, t, lam, cost = carry
+            bq, bt, bcost, q, t, lam = carry
             r, Jc, chi2, depth_ok = linearize(q, t)
+            cost = robust_cost(chi2, depth_ok)
+            accept = cost < bcost
+            lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-7),
+                            jnp.minimum(lam * 4.0, 1e4))
+            bq = jnp.where(accept, q, bq)
+            bt = jnp.where(accept, t, bt)
+            bcost = jnp.where(accept, cost, bcost)
+            # step from the best point, with this linearization if it is
+            # the best, else re-using its geometry as an approximation of
+            # the best point's (valid: rejected steps are small)
             w_rob = _huber_w(chi2, delta2) if robust else jnp.ones_like(chi2)
             we = jnp.where(active & depth_ok, w * w_rob, 0.0)
             wJ = Jc * we[:, None, None]
@@ -328,30 +348,17 @@ def pose_optimization(q0, t0, cam_params, kind: int, pts, uv, w, valid,
                      + 1e-8) * jnp.eye(6)
             dx = jnp.linalg.solve(H, -g)
             dT = lie.se3_exp(dx)
-            nq = lie.quat_normalize(lie.quat_mul(dT.q, q))
-            nt = lie.quat_rotate(dT.q, t) + dT.t
-            # robust cost for accept/reject
-            _, _, nchi2, ndep = linearize(nq, nt)
-            rho = jnp.where(nchi2 <= delta2, nchi2,
-                            2.0 * jnp.sqrt(delta2 * jnp.maximum(nchi2, 1e-12))
-                            - delta2)
-            new_cost = jnp.sum(jnp.where(active & ndep, rho, 0.0))
-            accept = new_cost < cost
-            lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-7),
-                            jnp.minimum(lam * 4.0, 1e4))
-            q = jnp.where(accept, nq, q)
-            t = jnp.where(accept, nt, t)
-            cost = jnp.where(accept, new_cost, cost)
-            return q, t, lam, cost
+            base_q = jnp.where(accept, q, bq)
+            base_t = jnp.where(accept, t, bt)
+            nq = lie.quat_normalize(lie.quat_mul(dT.q, base_q))
+            nt = lie.quat_rotate(dT.q, base_t) + dT.t
+            return bq, bt, bcost, nq, nt, lam
 
-        r, _, chi2, depth_ok = linearize(q, t)
-        rho = jnp.where(chi2 <= delta2, chi2,
-                        2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 1e-12))
-                        - delta2)
-        cost0 = jnp.sum(jnp.where(active & depth_ok, rho, 0.0))
-        q, t, _, _ = jax.lax.fori_loop(
-            0, iters, body, (q, t, jnp.asarray(1e-3, jnp.float32), cost0))
-        return q, t
+        big = jnp.asarray(jnp.inf, jnp.float32)
+        bq, bt, bcost, q, t, _ = jax.lax.fori_loop(
+            0, iters + 1, body,
+            (q, t, big, q, t, jnp.asarray(1e-3, jnp.float32)))
+        return bq, bt
 
     q, t = q0, t0
     active = valid
