@@ -1,0 +1,83 @@
+"""Atlas checkpoint / resume.
+
+The reference ships dormant boost-serialization scaffolding
+(``System::SaveAtlas/LoadAtlas``, ``include/Atlas.h:54-73`` — excluded
+from its build; SURVEY.md §5 "Checkpoint/resume").  Here the entire atlas
+is one flat pytree of arrays, so checkpointing is a single compressed-npz
+write — first-class and cheap, as the survey prescribes.
+
+Saved: the full MapState + per-agent tracking state + (optionally) the
+server's BoW database and vocabulary, so a resumed session relocalizes
+immediately.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from mam3slam_tpu.mapstate import state as S
+
+
+def save_atlas(system, path: str, server=None):
+    arrays = {f"ms_{name}": np.asarray(val)
+              for name, val in zip(S.MapState._fields, system.ms)}
+    n = len(system.agents)
+    ag_scalars = np.zeros((n, 5), np.int64)
+    ag_has_pose = np.zeros(n, bool)
+    ag_q = np.zeros((n, 4), np.float32)
+    ag_t = np.zeros((n, 3), np.float32)
+    for i, a in enumerate(system.agents):
+        ag_scalars[i] = [a.agent_id, a.state, a.map_id, a.ref_kf,
+                         a.next_agent_kf_id]
+        if a.q is not None:
+            ag_has_pose[i] = True
+            ag_q[i] = np.asarray(a.q)
+            ag_t[i] = np.asarray(a.t)
+    srv = {}
+    if server is not None and server.voc is not None:
+        srv["voc_meta"] = np.asarray([server.voc.k, server.voc.depth])
+        srv["voc_idf"] = np.asarray(server.voc.idf)
+        for i, lvl in enumerate(server.voc.centroid_bits):
+            srv[f"voc_level_{i}"] = np.asarray(lvl, np.float32)
+        srv["kf_bow"] = server.kf_bow
+        srv["kf_words"] = server.kf_words
+        srv["kf_word_mask"] = server.kf_word_mask
+    np.savez_compressed(
+        path, next_map_id=np.asarray(system.next_map_id),
+        agent_scalars=ag_scalars, agent_has_pose=ag_has_pose,
+        agent_q=ag_q, agent_t=ag_t, **arrays,
+        **{f"srv_{k}": v for k, v in srv.items()})
+
+
+def load_atlas(system, path: str, server=None):
+    """Restore MapState (+ agents, + server BoW db) in place."""
+    data = np.load(path)
+    fields = {name: jnp.asarray(data[f"ms_{name}"])
+              for name in S.MapState._fields}
+    system.ms = S.MapState(**fields)
+    system.next_map_id = int(data["next_map_id"])
+
+    ag = data["agent_scalars"]
+    for i in range(len(ag)):
+        while len(system.agents) <= i:
+            system.add_agent()
+        a = system.agents[i]
+        _, a.state, a.map_id, a.ref_kf, a.next_agent_kf_id = (
+            int(v) for v in ag[i])
+        if data["agent_has_pose"][i]:
+            a.q = jnp.asarray(data["agent_q"][i])
+            a.t = jnp.asarray(data["agent_t"][i])
+
+    if server is not None and "srv_voc_idf" in data:
+        from mam3slam_tpu.ops import bow
+
+        k, depth = (int(v) for v in data["srv_voc_meta"])
+        levels = tuple(jnp.asarray(data[f"srv_voc_level_{i}"],
+                                   jnp.bfloat16) for i in range(depth))
+        server.voc = bow.Vocabulary(
+            centroid_bits=levels, idf=jnp.asarray(data["srv_voc_idf"]),
+            k=k, depth=depth)
+        server.kf_bow = np.array(data["srv_kf_bow"])
+        server.kf_words = np.array(data["srv_kf_words"])
+        server.kf_word_mask = np.array(data["srv_kf_word_mask"])

@@ -76,8 +76,15 @@ def project_into_frame(ms: S.MapState, q, t, cam: cam_mod.Camera,
 def match_map_to_frame(ms: S.MapState, frame: FrameObs, q, t,
                        cam: cam_mod.Camera, width, height, mp_mask,
                        scale_factors, th_radius: float = 1.0,
-                       max_dist: int = M.TH_HIGH, ratio: float = 0.8):
+                       max_dist: int = M.TH_HIGH, ratio: float = 0.8,
+                       cap: int = 4096):
     """SearchByProjection of (masked) map points into a frame.
+
+    The frustum-visible candidates are compacted to a static ``cap``
+    before the dense Hamming problem, so per-frame matching cost is
+    independent of the total arena size (the reference likewise bounds the
+    local map; overflow beyond `cap` visible points is dropped arbitrarily,
+    matching its 80-KF local-map cap in spirit).
 
     Returns (feat_mp [F] i32 assignment, n_matches, visible_mask [P]).
     """
@@ -87,19 +94,22 @@ def match_map_to_frame(ms: S.MapState, frame: FrameObs, q, t,
     base_r = jnp.where(view_cos > 0.998, 2.5, 4.0)
     radius = th_radius * base_r * scale_factors[lvl_p]
 
-    bits_mp = M.unpack_desc(ms.mp_desc)
+    P = ms.mp_pos.shape[0]
+    cap = min(cap, P)
+    # compact visible candidates to the front (stable by slot id)
+    sel = jnp.argsort(~visible, stable=True)[:cap].astype(jnp.int32)
+    sel_vis = visible[sel]
+    bits_mp = M.unpack_desc(ms.mp_desc[sel])
     bits_f = M.unpack_desc(frame.desc)
     res = M.search_by_projection_frame(
-        uv_p, lvl_p, radius, bits_mp, visible,
+        uv_p[sel], lvl_p[sel], radius[sel], bits_mp, sel_vis,
         frame.uv, frame.level, bits_f, frame.valid,
         max_dist=max_dist, ratio=ratio)
-    # invert: per-feature map point
+    # invert: per-feature map point (in original arena indices)
     F = frame.uv.shape[0]
-    P = ms.mp_pos.shape[0]
     feat_mp = jnp.full((F,), S.NO_MP, jnp.int32)
     feat_mp = feat_mp.at[jnp.where(res.ok, res.idx, F - 1)].set(
-        jnp.where(res.ok, jnp.arange(P, dtype=jnp.int32), feat_mp[
-            jnp.where(res.ok, res.idx, F - 1)]))
+        jnp.where(res.ok, sel, feat_mp[jnp.where(res.ok, res.idx, F - 1)]))
     n = jnp.sum(res.ok.astype(jnp.int32))
     return feat_mp, n, visible
 

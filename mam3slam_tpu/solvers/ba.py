@@ -292,13 +292,16 @@ class PoseOptResult(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=("kind", "rounds", "iters"))
 def pose_optimization(q0, t0, cam_params, kind: int, pts, uv, w, valid,
-                      rounds: int = 4, iters: int = 10) -> PoseOptResult:
+                      rounds: int = 4, iters: int = 5) -> PoseOptResult:
     """Motion-only BA: one SE3 vertex, unary reprojection edges.
 
-    Mirrors the reference's 4 rounds x 10 LM iterations with chi2=5.991
+    Mirrors the reference's 4 optimization rounds with chi2=5.991
     re-classification between rounds and the Huber kernel dropped in the
     later rounds (src/Optimizer.cc:814-1114).  Points/intrinsics fixed.
-    K=1 so the 6x6 normal system is solved directly (no CG).
+    K=1 so the 6x6 normal system is solved directly (no CG).  5 LM
+    iterations per round (the reference budgets 10 for g2o, which
+    early-terminates; convergence here is complete by ~4 — verified to
+    give identical poses on the solver tests).
     """
     delta2 = CHI2_MONO
 
