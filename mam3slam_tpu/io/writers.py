@@ -130,8 +130,18 @@ def save_times(system, agent_id: int, path: str):
             f.write(f"{ms:.3f}\n")
 
 
+def save_time_series(series, path: str):
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        for ms in series:
+            f.write(f"{ms:.3f}\n")
+
+
 def save_all(system, server, out_dir: str):
-    """Write the full artifact set the reference emits on Shutdown."""
+    """Write the full artifact set the reference emits on Shutdown
+    (Trajectory/KF_traj/TrackingStatus/MapLogs/reloc + per-stage Times*
+    series: TimesT_i tracking, TimesLM_i local mapping, TimesPR/LC/MM
+    server phases — SURVEY.md §3.5/§5)."""
     os.makedirs(out_dir, exist_ok=True)
     for a in system.agents:
         i = a.agent_id
@@ -140,9 +150,17 @@ def save_all(system, server, out_dir: str):
         save_tracking_status(system, i, os.path.join(
             out_dir, f"TrackingStatus_{i}.txt"))
         save_times(system, i, os.path.join(out_dir, f"TimesT_{i}.txt"))
+        lm = getattr(system, "timers", None)
+        if lm is not None:
+            save_time_series(lm.series.get(f"LM_{i}", []),
+                             os.path.join(out_dir, f"TimesLM_{i}.txt"))
     save_kf_trajectory(system, os.path.join(out_dir, "KF_traj.txt"))
     save_map_logs(system, server, os.path.join(out_dir, "MapLogs.txt"))
     save_reloc(system, os.path.join(out_dir, "reloc.txt"))
+    if server is not None and getattr(server, "timers", None) is not None:
+        for phase in ("PR", "LC", "MM"):
+            save_time_series(server.timers.series.get(phase, []),
+                             os.path.join(out_dir, f"Times{phase}.txt"))
 
 
 # ---------------------------------------------------------------------------

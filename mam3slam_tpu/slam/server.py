@@ -43,6 +43,7 @@ from mam3slam_tpu.solvers import ba as ba_mod
 from mam3slam_tpu.solvers import pgo as pgo_mod
 from mam3slam_tpu.solvers import sim3 as sim3_mod
 from mam3slam_tpu.slam import steps
+from mam3slam_tpu.utils.timing import Timers
 
 
 @dataclass
@@ -89,6 +90,7 @@ class LoopServer:
         self.kf_words = None       # [K, F] i32
         self.kf_word_mask = None   # [K, W] bool
         self.events: List[str] = []
+        self.timers = Timers()  # PR / LC / MM phase series (SURVEY §5)
         self._fns = {}
 
     # ------------------------------------------------------------------
@@ -130,6 +132,10 @@ class LoopServer:
     # ------------------------------------------------------------------
     def process_keyframe(self, agent_id: int, kf: int):
         """LoopClosing::Run body for one popped keyframe."""
+        with self.timers.measure("PR"):
+            return self._process_keyframe(agent_id, kf)
+
+    def _process_keyframe(self, agent_id: int, kf: int):
         self.ensure_vocab()
         self._index_keyframe(kf)
         ms = self.sys.ms
@@ -349,6 +355,8 @@ class LoopServer:
     def correct_loop(self, agent_id: int, kf: int, h: Hypothesis):
         """CorrectLoop: Sim3-correct the covisible window, fuse duplicate
         points, essential-graph PGO over the whole map."""
+        import time as _time
+        _t0 = _time.perf_counter()
         sysm = self.sys
         ms = sysm.ms
         cfg = self.cfg
@@ -424,6 +432,7 @@ class LoopServer:
         self.events.append(
             f"LOOP agent={agent_id} kf={kf} target={h.target_kf} "
             f"map={kf_map}")
+        self.timers.add("LC", (_time.perf_counter() - _t0) * 1e3)
 
     # ------------------------------------------------------------------
     def _essential_edges(self, ms, kf, target_kf, S_corr, in_map):
@@ -496,6 +505,8 @@ class LoopServer:
         """MergeLocalMulti: transform the current KF's map into the target
         map's frame with the verified Sim3, relabel, retarget agents,
         welding BA around the seam."""
+        import time as _time
+        _t0 = _time.perf_counter()
         sysm = self.sys
         ms = sysm.ms
         cur_map = int(ms.kf_map[kf])
@@ -567,3 +578,4 @@ class LoopServer:
         self.events.append(
             f"MERGE agent={agent_id} map {cur_map} -> {tgt_map} "
             f"kf={kf} target={h.target_kf}")
+        self.timers.add("MM", (_time.perf_counter() - _t0) * 1e3)

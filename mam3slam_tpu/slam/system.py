@@ -28,6 +28,7 @@ from mam3slam_tpu.ops import matching as M
 from mam3slam_tpu.slam import steps
 from mam3slam_tpu.solvers import ba as ba_mod
 from mam3slam_tpu.solvers import twoview
+from mam3slam_tpu.utils.timing import Timers
 
 NO_IMAGES_YET = 0
 NOT_INITIALIZED = 1
@@ -349,6 +350,7 @@ class SlamSystem:
         self.events: List[str] = []
         self.next_map_id = 0
         self.server = None  # optional LoopServer (slam/server.py)
+        self.timers = Timers()  # LM/tracking stage series (SURVEY §5)
 
     def add_agent(self) -> int:
         a = AgentState(agent_id=len(self.agents), cam=self.cam)
@@ -618,6 +620,8 @@ class SlamSystem:
     # ------------------------------------------------------------------
     def _local_mapping(self, a: AgentState, kf: int):
         """LocalMapping::Run body for one keyframe (reference §3.3)."""
+        import time as _time
+        _t0 = _time.perf_counter()
         cfg = self.cfg
         ms = self.ms
         # map point culling
@@ -672,6 +676,8 @@ class SlamSystem:
                 if culled >= 2:
                     break
         self.ms = ms
+        self.timers.add(f"LM_{a.agent_id}",
+                        (_time.perf_counter() - _t0) * 1e3)
 
     # ------------------------------------------------------------------
     def _record_trajectory(self, a: AgentState, ts):
