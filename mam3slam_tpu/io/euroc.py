@@ -18,8 +18,13 @@ import numpy as np
 def load_image_index(seq_dir: str, cam: str = "cam0") -> List[Tuple[float, str]]:
     """[(timestamp_s, image_path)] from mav0/<cam>/data.csv."""
     cam_dir = os.path.join(seq_dir, "mav0", cam)
+    csv_path = os.path.join(cam_dir, "data.csv")
+    if not os.path.exists(csv_path):
+        raise FileNotFoundError(
+            f"not an EuRoC ASL sequence dir (no {csv_path}); expected "
+            f"layout <seq>/mav0/{cam}/data.csv")
     out = []
-    with open(os.path.join(cam_dir, "data.csv")) as f:
+    with open(csv_path) as f:
         for row in csv.reader(f):
             if not row or row[0].startswith("#"):
                 continue

@@ -35,13 +35,15 @@ def save_trajectory(system, agent_id: int, path: str):
     for ts, ref, q_rel, t_rel, st in a.trajectory:
         if st != 2:  # OK only (reference skips lost frames)
             continue
-        T_ref = lie.SE3(jnp.asarray(kf_q[ref]), jnp.asarray(kf_t[ref]))
-        T_cw = lie.se3_compose(
-            lie.SE3(jnp.asarray(q_rel), jnp.asarray(t_rel)), T_ref)
+        # culled references resolve through the spanning tree (reference
+        # Agent::SaveTrajectory while(isBad) walk)
+        ref2, T_rel = system.resolve_ref(ref, q_rel, t_rel)
+        T_ref = lie.SE3(jnp.asarray(kf_q[ref2]), jnp.asarray(kf_t[ref2]))
+        T_cw = lie.se3_compose(T_rel, T_ref)
         T_wc = lie.se3_inverse(T_cw)
         rows.append(_fmt_pose_row(
             ts, np.asarray(T_wc.t), np.asarray(T_wc.q),
-            extra=f" {agent_id} {kf_ts[ref]:.6f}"))
+            extra=f" {agent_id} {kf_ts[ref2]:.6f}"))
     with open(path, "w") as f:
         f.writelines(rows)
 
@@ -98,10 +100,12 @@ def save_map_logs(system, server, path: str):
         for e in server.events:
             if e.startswith("MERGE"):
                 parts = e.split()
-                agent = parts[1].split("=")[1]
+                kv = dict(p.split("=") for p in parts[1:] if "=" in p)
+                agent = kv.get("agent", "?")
+                ts = float(kv.get("ts", 0.0))
                 src, dst = parts[3], parts[5]
                 lines.append(
-                    f"Merge of map {src} into {dst} at KF of ts 0.000000 "
+                    f"Merge of map {src} into {dst} at KF of ts {ts:.6f} "
                     f"from Agent {agent}\n")
     with open(path, "w") as f:
         f.writelines(lines)

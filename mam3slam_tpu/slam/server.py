@@ -575,7 +575,16 @@ class LoopServer:
         sysm.ms = sysm.fns["refresh_stats"](ms2, ms2.mp_valid)
         sysm.ms = sysm.fns["local_ba"](sysm.ms, jnp.asarray(kf),
                                        sysm.cam.params)
+        # full-map BA after the weld (reference MergeLocalMulti optional
+        # GBA :2838-2845) — pulls the absorbed map's remainder into global
+        # consistency; the welding LBA alone only fixes the seam window.
+        n_in_tgt = int((np.asarray(sysm.ms.kf_valid)
+                        & (np.asarray(sysm.ms.kf_map) == tgt_map)).sum())
+        if n_in_tgt < 200:
+            sysm.ms = sysm.fns["global_ba"](sysm.ms, jnp.asarray(tgt_map),
+                                            sysm.cam.params)
         self.events.append(
             f"MERGE agent={agent_id} map {cur_map} -> {tgt_map} "
-            f"kf={kf} target={h.target_kf}")
+            f"kf={kf} target={h.target_kf} "
+            f"ts={float(self.sys.ms.kf_ts[kf]):.6f}")
         self.timers.add("MM", (_time.perf_counter() - _t0) * 1e3)

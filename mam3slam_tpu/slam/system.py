@@ -351,6 +351,11 @@ class SlamSystem:
         self.next_map_id = 0
         self.server = None  # optional LoopServer (slam/server.py)
         self.timers = Timers()  # LM/tracking stage series (SURVEY §5)
+        # culled KF -> (parent, q_rel, t_rel): pose relative to spanning-
+        # tree parent at cull time, so trajectory rows referencing culled
+        # KFs resolve through live ancestors (reference Agent::
+        # SaveTrajectory walks mTcp up the tree, src/Agent.cc:228-341)
+        self.culled_kf = {}
 
     def add_agent(self) -> int:
         a = AgentState(agent_id=len(self.agents), cam=self.cam)
@@ -671,6 +676,13 @@ class SlamSystem:
                 continue
             frac, ntr = self.fns["kf_redundancy"](ms, jnp.asarray(cand))
             if float(frac) >= 0.9 and int(ntr) > 20:
+                parent = int(ms.kf_parent[cand])
+                if parent >= 0:
+                    T_c = lie.SE3(ms.kf_q[cand], ms.kf_t[cand])
+                    T_p = lie.SE3(ms.kf_q[parent], ms.kf_t[parent])
+                    T_cp = lie.se3_compose(T_c, lie.se3_inverse(T_p))
+                    self.culled_kf[cand] = (
+                        parent, np.asarray(T_cp.q), np.asarray(T_cp.t))
                 ms = self.fns["remove_kf"](ms, jnp.asarray(cand))
                 culled += 1
                 if culled >= 2:
@@ -690,6 +702,23 @@ class SlamSystem:
         a.trajectory.append((ts, ref, np.asarray(T_rel.q),
                              np.asarray(T_rel.t), a.state))
 
+    def resolve_ref(self, ref, q_rel, t_rel):
+        """Walk culled ancestors until a live reference KF is found
+        (reference spanning-tree walk in SaveTrajectory)."""
+        T_rel = lie.SE3(jnp.asarray(q_rel), jnp.asarray(t_rel))
+        kf_valid = np.asarray(self.ms.kf_valid)
+        seen = 0
+        while ref >= 0 and not kf_valid[ref] and seen < 64:
+            ent = self.culled_kf.get(ref)
+            if ent is None:
+                break
+            parent, q_cp, t_cp = ent
+            T_rel = lie.se3_compose(T_rel, lie.SE3(jnp.asarray(q_cp),
+                                                   jnp.asarray(t_cp)))
+            ref = parent
+            seen += 1
+        return ref, T_rel
+
     def trajectory_world(self, agent_id: int):
         """Reconstruct camera-to-world trajectory (TUM convention: Twc)."""
         a = self.agents[agent_id]
@@ -697,9 +726,9 @@ class SlamSystem:
         kf_q = np.asarray(self.ms.kf_q)
         kf_t = np.asarray(self.ms.kf_t)
         for ts, ref, q_rel, t_rel, state in a.trajectory:
-            T_ref = lie.SE3(jnp.asarray(kf_q[ref]), jnp.asarray(kf_t[ref]))
-            T_cw = lie.se3_compose(lie.SE3(jnp.asarray(q_rel),
-                                           jnp.asarray(t_rel)), T_ref)
+            ref2, T_rel = self.resolve_ref(ref, q_rel, t_rel)
+            T_ref = lie.SE3(jnp.asarray(kf_q[ref2]), jnp.asarray(kf_t[ref2]))
+            T_cw = lie.se3_compose(T_rel, T_ref)
             T_wc = lie.se3_inverse(T_cw)
             out.append((ts, np.asarray(T_wc.q), np.asarray(T_wc.t), state))
         return out
