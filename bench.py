@@ -72,16 +72,16 @@ def main():
     q0 = lie.quat_identity()
     t0 = jnp.zeros(3)
 
-    # warmup/compile
-    out = frame_step(ms, imgs[0], q0, t0)
-    jax.block_until_ready(out)
+    # warmup/compile — force a VALUE fetch: on the tunneled axon backend
+    # block_until_ready is a no-op, only a D2H read truly synchronizes
+    q, t, n_in = frame_step(ms, imgs[0], q0, t0)
+    _ = float(jnp.sum(t))
 
     n_iter = 60
     start = time.perf_counter()
-    q, t = q0, t0
     for i in range(n_iter):
         q, t, n_in = frame_step(ms, imgs[i % 4], q0, t0)
-    jax.block_until_ready((q, t))
+    _ = float(jnp.sum(t)) + float(n_in)  # sync on the last result
     dt = time.perf_counter() - start
     fps = n_iter / dt
 
