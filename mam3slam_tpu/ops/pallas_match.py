@@ -1,0 +1,130 @@
+"""Pallas TPU kernel: fused masked descriptor matching.
+
+The projection-guided search (`ops/matching.search_by_projection_frame`)
+is the hottest per-frame op.  The XLA version materializes several
+[Q, F] intermediates in HBM (Hamming matrix, radius mask, level mask,
+masked distances) — ~5 round trips of Q*F*4 bytes.  This kernel fuses the
+whole thing per Q-tile in VMEM:
+
+  dot = bits_q_tile @ bits_t^T          (MXU, 256-deep bit matmul)
+  ham = |q| + |t| - 2 dot               (VPU)
+  mask = radius & level-window & valid  (VPU, from uv/level/valid tiles)
+  best, second = masked 2-min reduction (VPU)
+
+One HBM read per operand tile, no [Q, F] traffic.  Falls back to the XLA
+path off-TPU (tests run the kernel in interpreter mode for parity).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG = float(1 << 20)  # python scalar: jnp constants can't be captured
+
+
+def _match_kernel(q_bits_ref, q_uv_ref, q_rad_ref, q_lvl_ref, q_valid_ref,
+                  t_bits_ref, t_uv_ref, t_lvl_ref, t_valid_ref,
+                  best_ref, d1_ref, d2_ref):
+    q_bits = q_bits_ref[:]                       # [TQ, 256] bf16
+    t_bits = t_bits_ref[:]                       # [F, 256] bf16
+    dot = jax.lax.dot_general(
+        q_bits, t_bits, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)      # [TQ, F]
+    pop_q = jnp.sum(q_bits.astype(jnp.float32), axis=1, keepdims=True)
+    pop_t = jnp.sum(t_bits.astype(jnp.float32), axis=1, keepdims=True)
+    ham = pop_q + pop_t.T - 2.0 * dot            # [TQ, F]
+
+    # spatial + level-window + validity mask
+    dx = q_uv_ref[:, 0:1] - t_uv_ref[:, 0:1].T
+    dy = q_uv_ref[:, 1:2] - t_uv_ref[:, 1:2].T
+    r2 = q_rad_ref[:] ** 2                        # [TQ, 1]
+    in_r = (dx * dx + dy * dy) <= r2
+    lv_t = t_lvl_ref[:, 0:1].T                    # [1, F]
+    lv_q = q_lvl_ref[:]                           # [TQ, 1]
+    in_lvl = (lv_t >= lv_q - 1.0) & (lv_t <= lv_q + 1.0)
+    ok = (in_r & in_lvl & (q_valid_ref[:] > 0)
+          & (t_valid_ref[:, 0:1].T > 0))
+
+    d = jnp.where(ok, ham, BIG)
+    d1 = jnp.min(d, axis=1)                       # [TQ]
+    idx = jnp.argmin(d, axis=1).astype(jnp.int32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    d_wo = jnp.where(cols == idx[:, None], BIG, d)
+    d2 = jnp.min(d_wo, axis=1)
+
+    best_ref[:] = idx[:, None]
+    d1_ref[:] = d1[:, None]
+    d2_ref[:] = d2[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile_q"))
+def fused_masked_match(bits_q, q_uv, q_radius, q_level, q_valid,
+                       bits_t, t_uv, t_level, t_valid,
+                       interpret: bool = False, tile_q: int = 512):
+    """Fused masked best/second-best Hamming match.
+
+    bits_q [Q, 256] bf16, bits_t [F, 256] bf16 (F <= a few K so the target
+    block fits VMEM); returns (idx [Q] i32, d1 [Q] f32, d2 [Q] f32).
+    Level window is the reference's [pred-1, pred+1].
+    """
+    Q = bits_q.shape[0]
+    F = bits_t.shape[0]
+    pad = (-Q) % tile_q
+    if pad:
+        bits_q = jnp.pad(bits_q, ((0, pad), (0, 0)))
+        q_uv = jnp.pad(q_uv, ((0, pad), (0, 0)))
+        q_radius = jnp.pad(q_radius, (0, pad))
+        q_level = jnp.pad(q_level, (0, pad))
+        q_valid = jnp.pad(q_valid, (0, pad))
+    Qp = Q + pad
+    grid = (Qp // tile_q,)
+
+    q_spec = lambda w: pl.BlockSpec((tile_q, w), lambda i: (i, 0),
+                                    memory_space=pltpu.ANY
+                                    if False else pltpu.VMEM)
+    t_spec = lambda w: pl.BlockSpec((F, w), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)
+
+    idx, d1, d2 = pl.pallas_call(
+        _match_kernel,
+        grid=grid,
+        in_specs=[
+            q_spec(256),                       # q bits
+            q_spec(2),                         # q uv
+            pl.BlockSpec((tile_q, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),  # radius
+            pl.BlockSpec((tile_q, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),  # level
+            pl.BlockSpec((tile_q, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),  # valid
+            t_spec(256), t_spec(2),
+            pl.BlockSpec((F, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_q, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Qp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Qp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Qp, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(bits_q, q_uv, q_radius[:, None].astype(jnp.float32),
+      q_level[:, None].astype(jnp.float32),
+      q_valid[:, None].astype(jnp.float32),
+      bits_t, t_uv, t_level[:, None].astype(jnp.float32),
+      t_valid[:, None].astype(jnp.float32))
+    return idx[:Q, 0], d1[:Q, 0], d2[:Q, 0]
