@@ -87,7 +87,7 @@ class MultiAgentSystem:
             return feats
 
         self._extract_fns.append(extract)
-        return self.sys.add_agent()
+        return self.sys.add_agent(cam=cam)
 
     # -- reference: Agent::TrackMonocular ----------------------------------
     def track_monocular(self, agent_id: int, image: np.ndarray, ts: float):

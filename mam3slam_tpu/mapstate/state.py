@@ -56,6 +56,9 @@ class MapState(NamedTuple):
     kf_ts: jnp.ndarray         # [K] f32 timestamp
     kf_parent: jnp.ndarray     # [K] i32 spanning-tree parent (-1 root)
     kf_agent_kf_id: jnp.ndarray  # [K] i32 per-agent sequential id
+    kf_cam: jnp.ndarray        # [K, 8] f32 per-KF camera intrinsics
+                               # (Atlas camera registry, Atlas.h:95-96 —
+                               # agents may carry different calibrations)
     # --- per-KF features
     kf_feat_uv: jnp.ndarray    # [K, F, 2] f32 match-space coords
     kf_feat_level: jnp.ndarray  # [K, F] i32
@@ -98,6 +101,7 @@ def init_map_state(cfg: MapConfig) -> MapState:
         kf_ts=jnp.zeros((K,), jnp.float32),
         kf_parent=jnp.full((K,), NO_KF, jnp.int32),
         kf_agent_kf_id=jnp.full((K,), -1, jnp.int32),
+        kf_cam=jnp.zeros((K, 8), jnp.float32),
         kf_feat_uv=jnp.zeros((K, F, 2), jnp.float32),
         kf_feat_level=jnp.zeros((K, F), jnp.int32),
         kf_feat_angle=jnp.zeros((K, F), jnp.float32),
@@ -218,7 +222,7 @@ def assign_spanning_parent(ms: MapState, kf: jnp.ndarray) -> MapState:
 
 def add_keyframe(ms: MapState, q, t, agent, map_id, ts, agent_kf_id,
                  feat_uv, feat_level, feat_angle, feat_desc, feat_valid,
-                 feat_mp) -> tuple:
+                 feat_mp, cam_params=None) -> tuple:
     """Insert a keyframe at the next slot; returns (ms, kf_slot).
 
     ``feat_mp [F]`` carries tracked map-point associations (-1 = none);
@@ -235,6 +239,8 @@ def add_keyframe(ms: MapState, q, t, agent, map_id, ts, agent_kf_id,
         kf_map=ms.kf_map.at[kf].set(map_id),
         kf_ts=ms.kf_ts.at[kf].set(ts),
         kf_agent_kf_id=ms.kf_agent_kf_id.at[kf].set(agent_kf_id),
+        kf_cam=(ms.kf_cam if cam_params is None
+                else ms.kf_cam.at[kf].set(cam_params)),
         kf_feat_uv=ms.kf_feat_uv.at[kf].set(feat_uv),
         kf_feat_level=ms.kf_feat_level.at[kf].set(feat_level),
         kf_feat_angle=ms.kf_feat_angle.at[kf].set(feat_angle),

@@ -221,7 +221,9 @@ class LoopServer:
         """
         ms = self.sys.ms
         cfg = self.cfg
-        cam = self.sys.cam
+        kind = self.sys.cfg.cam_kind
+        cam_kf = cam_mod.Camera(ms.kf_cam[kf], kind)
+        cam_cand = cam_mod.Camera(ms.kf_cam[cand], kind)
 
         # BoW-space brute force between the two KFs' features (with mp)
         bits1 = M.unpack_desc(ms.kf_feat_desc[kf])
@@ -253,7 +255,7 @@ class LoopServer:
         self.key, sub = jax.random.split(self.key)
         r = sim3_mod.ransac_sim3(
             pts1, pts2, jnp.asarray(okm),
-            uv1, uv2, cam,
+            uv1, uv2, cam_kf, cam_cand,
             ms.kf_q[kf], ms.kf_t[kf], ms.kf_q[cand], ms.kf_t[cand],
             sub, sig1, sig2, min_inliers=cfg.n_sim3_inliers)
         if not bool(r.ok):
@@ -267,7 +269,7 @@ class LoopServer:
         T2 = lie.sim3_from_se3(lie.SE3(ms.kf_q[cand], ms.kf_t[cand]))
         Scw = lie.sim3_compose(S12, T2)
         proj = lie.sim3_apply(Scw, ms.mp_pos)
-        uvp = cam_mod.project_ideal(cam, proj)
+        uvp = cam_mod.project_ideal(cam_kf, proj)
         vis = (mp_mask & (proj[:, 2] > 0.05)
                & (uvp[:, 0] >= 0) & (uvp[:, 0] < self.sys.cfg.width)
                & (uvp[:, 1] >= 0) & (uvp[:, 1] < self.sys.cfg.height))
@@ -292,8 +294,8 @@ class LoopServer:
         sgf = jnp.asarray(s2)[jnp.clip(lvl_f, 0, len(s2) - 1)]
         q_o, t_o, s_o, inl, n_in = sim3_mod.optimize_sim3(
             r.q, r.t, r.s, pc1, pc2, pc1_obs_uv,
-            cam_mod.project_ideal(cam, pc2), mres.ok,
-            cam, sgf, sgf)
+            cam_mod.project_ideal(cam_cand, pc2), mres.ok,
+            cam_kf, cam_cand, sgf, sgf)
         n_opt = int(n_in)
         if n_opt < cfg.n_proj_opt_matches:
             return None
@@ -307,7 +309,7 @@ class LoopServer:
         """DetectAndReffineSim3FromLastKF: propagate S_cw through the
         agent's motion and re-validate by projection matching."""
         ms = self.sys.ms
-        cam = self.sys.cam
+        cam = cam_mod.Camera(ms.kf_cam[kf], self.sys.cfg.cam_kind)
         # propagate: S_c_new,w2 = T_c_new,w1 * T_c_last,w1^-1 * S_c_last,w2
         # approximated by recomputing through current pose relative to the
         # stored hypothesis keyframe is not available; use matched map
@@ -421,13 +423,11 @@ class LoopServer:
 
         # fuse duplicated points in the loop region and refresh
         local_mask = sysm.fns["local_mp_mask"](ms, jnp.asarray(kf), 16)
-        ms, _ = sysm.fns["fuse_step"](ms, jnp.asarray(kf), local_mask,
-                                      sysm.cam.params)
+        ms, _ = sysm.fns["fuse_step"](ms, jnp.asarray(kf), local_mask)
         ms = sysm.fns["refresh_stats"](ms, ms.mp_valid)
         # conditional global BA (reference :1766-1775: map < 200 KFs)
         if int(np.asarray(in_map).sum()) < 200:
-            ms = sysm.fns["global_ba"](ms, jnp.asarray(kf_map),
-                                       sysm.cam.params)
+            ms = sysm.fns["global_ba"](ms, jnp.asarray(kf_map))
         sysm.ms = ms
         self.events.append(
             f"LOOP agent={agent_id} kf={kf} target={h.target_kf} "
@@ -570,19 +570,17 @@ class LoopServer:
         # weld: fuse duplicate points around the seam, refresh, local BA
         local_mask = sysm.fns["local_mp_mask"](sysm.ms, jnp.asarray(
             h.target_kf), 16)
-        ms2, _ = sysm.fns["fuse_step"](sysm.ms, jnp.asarray(kf), local_mask,
-                                       sysm.cam.params)
+        ms2, _ = sysm.fns["fuse_step"](sysm.ms, jnp.asarray(kf),
+                                       local_mask)
         sysm.ms = sysm.fns["refresh_stats"](ms2, ms2.mp_valid)
-        sysm.ms = sysm.fns["local_ba"](sysm.ms, jnp.asarray(kf),
-                                       sysm.cam.params)
+        sysm.ms = sysm.fns["local_ba"](sysm.ms, jnp.asarray(kf))
         # full-map BA after the weld (reference MergeLocalMulti optional
         # GBA :2838-2845) — pulls the absorbed map's remainder into global
         # consistency; the welding LBA alone only fixes the seam window.
         n_in_tgt = int((np.asarray(sysm.ms.kf_valid)
                         & (np.asarray(sysm.ms.kf_map) == tgt_map)).sum())
         if n_in_tgt < 200:
-            sysm.ms = sysm.fns["global_ba"](sysm.ms, jnp.asarray(tgt_map),
-                                            sysm.cam.params)
+            sysm.ms = sysm.fns["global_ba"](sysm.ms, jnp.asarray(tgt_map))
         self.events.append(
             f"MERGE agent={agent_id} map {cur_map} -> {tgt_map} "
             f"kf={kf} target={h.target_kf} "

@@ -145,7 +145,7 @@ def _fundamental_from_poses(q1, t1, q2, t2, K1, K2):
 
 
 def triangulate_with_neighbor(ms: S.MapState, kf1, kf2,
-                              cam: cam_mod.Camera, sigma2_per_level,
+                              kind: int, sigma2_per_level,
                               min_parallax_cos: float = 0.9998):
     """Match un-associated features of kf1 against kf2 along the epipolar
     line, triangulate, and gate (depth, parallax, chi2 reprojection in both
@@ -159,8 +159,10 @@ def triangulate_with_neighbor(ms: S.MapState, kf1, kf2,
     free2 = ms.kf_feat_valid[kf2] & (ms.kf_feat_mp[kf2] < 0)
     q1, t1 = ms.kf_q[kf1], ms.kf_t[kf1]
     q2, t2 = ms.kf_q[kf2], ms.kf_t[kf2]
-    K = cam.K()
-    F12 = _fundamental_from_poses(q1, t1, q2, t2, K, K)
+    cam1 = cam_mod.Camera(ms.kf_cam[kf1], kind)
+    cam2 = cam_mod.Camera(ms.kf_cam[kf2], kind)
+    K1, K2 = cam1.K(), cam2.K()
+    F12 = _fundamental_from_poses(q1, t1, q2, t2, K1, K2)
 
     bits1 = M.unpack_desc(ms.kf_feat_desc[kf1])
     bits2 = M.unpack_desc(ms.kf_feat_desc[kf2])
@@ -172,8 +174,8 @@ def triangulate_with_neighbor(ms: S.MapState, kf1, kf2,
     idx2 = jnp.clip(res.idx, 0)
     R1 = lie.quat_to_matrix(q1)
     R2 = lie.quat_to_matrix(q2)
-    P1 = K @ jnp.concatenate([R1, t1[:, None]], axis=1)
-    P2 = K @ jnp.concatenate([R2, t2[:, None]], axis=1)
+    P1 = K1 @ jnp.concatenate([R1, t1[:, None]], axis=1)
+    P2 = K2 @ jnp.concatenate([R2, t2[:, None]], axis=1)
     X = twoview.triangulate_dlt(
         jnp.broadcast_to(P1, (F, 3, 4)), jnp.broadcast_to(P2, (F, 3, 4)),
         uv1, uv2[idx2])
@@ -191,8 +193,8 @@ def triangulate_with_neighbor(ms: S.MapState, kf1, kf2,
     Xc2 = X @ R2.T + t2
     z_ok = (Xc1[:, 2] > 1e-3) & (Xc2[:, 2] > 1e-3)
 
-    pr1 = cam_mod.project_ideal(cam, Xc1)
-    pr2 = cam_mod.project_ideal(cam, Xc2)
+    pr1 = cam_mod.project_ideal(cam1, Xc1)
+    pr2 = cam_mod.project_ideal(cam2, Xc2)
     s1 = sigma2_per_level[ms.kf_feat_level[kf1]]
     s2 = sigma2_per_level[ms.kf_feat_level[kf2][idx2]]
     e1 = jnp.sum((pr1 - uv1) ** 2, axis=-1)
@@ -248,7 +250,7 @@ def add_triangulated_points(ms: S.MapState, kf1, kf2, ok, X, feat1, feat2,
 # fuse (ORBmatcher::Fuse)
 # ---------------------------------------------------------------------------
 
-def fuse_into_kf(ms: S.MapState, kf, mp_mask, cam: cam_mod.Camera,
+def fuse_into_kf(ms: S.MapState, kf, mp_mask, kind: int,
                  width, height, scale_factors, max_dist: int = M.TH_LOW):
     """Project masked map points into keyframe `kf`; where the best match
     feature already has a point, mark (src=new, dst=existing) replacement
@@ -261,6 +263,7 @@ def fuse_into_kf(ms: S.MapState, kf, mp_mask, cam: cam_mod.Camera,
     frame = FrameObs(uv=ms.kf_feat_uv[kf], level=ms.kf_feat_level[kf],
                      angle=ms.kf_feat_angle[kf], desc=ms.kf_feat_desc[kf],
                      valid=ms.kf_feat_valid[kf])
+    cam = cam_mod.Camera(ms.kf_cam[kf], kind)
     q, t = ms.kf_q[kf], ms.kf_t[kf]
     uv_p, lvl_p, visible, _ = project_into_frame(
         ms, q, t, cam, width, height, mp_mask, scale_factors)
@@ -321,7 +324,7 @@ def keyframe_redundancy(ms: S.MapState, kf, scale_margin: int = 1):
     return frac, n_tracked
 
 
-def build_local_ba_problem(ms: S.MapState, opt_kf_mask, cam: cam_mod.Camera,
+def build_local_ba_problem(ms: S.MapState, opt_kf_mask,
                            inv_sigma2):
     """Assemble a BAProblem over the full arenas with masks:
     cameras in ``opt_kf_mask`` free, all other observing KFs fixed;
@@ -353,7 +356,7 @@ def build_local_ba_problem(ms: S.MapState, opt_kf_mask, cam: cam_mod.Camera,
                      valid=obs_valid)
     prob = ba_mod.BAProblem(
         cam_q=ms.kf_q, cam_t=ms.kf_t,
-        cam_params=jnp.broadcast_to(cam.params, (K, 8)),
+        cam_params=ms.kf_cam,  # per-KF intrinsics (heterogeneous agents)
         pts=ms.mp_pos, obs=obs, cam_free=cam_free, pt_free=pt_free)
     return prob
 

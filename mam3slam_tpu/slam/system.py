@@ -146,9 +146,9 @@ def _compiled(cfg: SlamConfig, kind: int):
         return twoview.reconstruct_two_views(uv1, uv2, valid, Kmat, key)
 
     @jax.jit
-    def triangulate_step(ms, kf1, kf2, cam_params, map_id):
-        cam = cam_mod.Camera(cam_params, kind)
-        ok, X, f1, f2 = steps.triangulate_with_neighbor(ms, kf1, kf2, cam, s2)
+    def triangulate_step(ms, kf1, kf2, map_id):
+        ok, X, f1, f2 = steps.triangulate_with_neighbor(ms, kf1, kf2, kind,
+                                                        s2)
         n_before = jnp.sum(ms.mp_valid)
         ms = steps.add_triangulated_points(ms, kf1, kf2, ok, X, f1, f2,
                                            map_id)
@@ -156,9 +156,8 @@ def _compiled(cfg: SlamConfig, kind: int):
         return ms, jnp.sum(ok.astype(jnp.int32))
 
     @jax.jit
-    def fuse_step(ms, kf, mp_mask, cam_params):
-        cam = cam_mod.Camera(cam_params, kind)
-        ms, n = steps.fuse_into_kf(ms, kf, mp_mask, cam, W, H, sf)
+    def fuse_step(ms, kf, mp_mask):
+        ms, n = steps.fuse_into_kf(ms, kf, mp_mask, kind, W, H, sf)
         ms = S.rebuild_reverse_obs(ms)
         ms = S.update_covis_for_kf(ms, kf)
         return ms, n
@@ -168,7 +167,7 @@ def _compiled(cfg: SlamConfig, kind: int):
         return S.refresh_mp_stats(ms, mp_mask, sf)
 
     @jax.jit
-    def local_ba(ms, center_kf, cam_params):
+    def local_ba(ms, center_kf):
         idx, w, ok = S.best_covisible(ms, center_kf, cfg.lba_window)
         opt_mask = jnp.zeros((ms.kf_valid.shape[0],), bool).at[
             jnp.where(ok, idx, center_kf)].set(True).at[center_kf].set(True)
@@ -179,8 +178,7 @@ def _compiled(cfg: SlamConfig, kind: int):
         anchor1 = jnp.argmax(in_map)
         anchor2 = jnp.argmax(in_map.at[anchor1].set(False))
         opt_mask = opt_mask.at[anchor1].set(False).at[anchor2].set(False)
-        cam = cam_mod.Camera(cam_params, kind)
-        prob = steps.build_local_ba_problem(ms, opt_mask, cam, is2)
+        prob = steps.build_local_ba_problem(ms, opt_mask, is2)
         res = ba_mod.run_ba(prob, kind, iters=cfg.lba_iters,
                             cg_iters=cfg.lba_cg_iters)
         res2 = ba_mod.run_ba(
@@ -203,14 +201,13 @@ def _compiled(cfg: SlamConfig, kind: int):
         return ms
 
     @jax.jit
-    def global_ba(ms, map_id, cam_params):
+    def global_ba(ms, map_id):
         """Full-map BA (reference RunGlobalBundleAdjustment :3579; 10
         iters).  Synchronous epoch — no catch-up propagation needed."""
         in_map = ms.kf_valid & (ms.kf_map == map_id)
         anchor1 = jnp.argmax(in_map)
         opt_mask = in_map.at[anchor1].set(False)
-        cam = cam_mod.Camera(cam_params, kind)
-        prob = steps.build_local_ba_problem(ms, opt_mask, cam, is2)
+        prob = steps.build_local_ba_problem(ms, opt_mask, is2)
         res = ba_mod.run_ba(prob, kind, iters=10, cg_iters=40)
         ms = steps.apply_ba_result(ms, res, opt_mask, prob.pt_free)
         return ms
@@ -244,11 +241,13 @@ def _compiled(cfg: SlamConfig, kind: int):
         ms, kf1 = S.add_keyframe(
             ms, lie.quat_identity(), jnp.zeros(3), agent, map_id, ts1, 0,
             frame1.uv, frame1.level, frame1.angle, frame1.desc,
-            frame1.valid, jnp.full((F,), S.NO_MP, jnp.int32))
+            frame1.valid, jnp.full((F,), S.NO_MP, jnp.int32),
+            cam_params=cam_params)
         ms, kf2 = S.add_keyframe(
             ms, q2, t2, agent, map_id, ts2, 1,
             frame2.uv, frame2.level, frame2.angle, frame2.desc,
-            frame2.valid, jnp.full((F,), S.NO_MP, jnp.int32))
+            frame2.valid, jnp.full((F,), S.NO_MP, jnp.int32),
+            cam_params=cam_params)
         ms = steps.add_triangulated_points(ms, kf1, kf2, mp_ok, X,
                                            mp_src_feat1, mp_src_feat2,
                                            map_id)
@@ -259,15 +258,14 @@ def _compiled(cfg: SlamConfig, kind: int):
         return ms, kf1, kf2
 
     @jax.jit
-    def initial_gba_and_rescale(ms, cam_params, kf1, map_id):
+    def initial_gba_and_rescale(ms, kf1, map_id):
         """20-iteration full BA on the new 2-KF map then inverse-median-
         depth normalization (reference :2498-2531).  Scoped to `map_id` so
         later agents' initializations never touch existing maps."""
-        cam = cam_mod.Camera(cam_params, kind)
         in_map_kf = ms.kf_valid & (ms.kf_map == map_id)
         in_map_mp = ms.mp_valid & (ms.mp_map == map_id)
         opt_mask = in_map_kf.at[kf1].set(False)
-        prob = steps.build_local_ba_problem(ms, opt_mask, cam, is2)
+        prob = steps.build_local_ba_problem(ms, opt_mask, is2)
         res = ba_mod.run_ba(prob, kind, iters=20, cg_iters=20)
         ms = steps.apply_ba_result(ms, res, opt_mask, prob.pt_free)
         # median depth in the first KF's frame
@@ -290,10 +288,11 @@ def _compiled(cfg: SlamConfig, kind: int):
 
     @jax.jit
     def add_kf_step(ms, frame, q, t, feat_mp, agent, map_id, ts,
-                    agent_kf_id):
+                    agent_kf_id, cam_params):
         ms, kf = S.add_keyframe(ms, q, t, agent, map_id, ts, agent_kf_id,
                                 frame.uv, frame.level, frame.angle,
-                                frame.desc, frame.valid, feat_mp)
+                                frame.desc, frame.valid, feat_mp,
+                                cam_params=cam_params)
         ms = S.refresh_mp_stats(
             ms, jnp.zeros((ms.mp_valid.shape[0],), bool).at[
                 jnp.clip(feat_mp, 0)].set(feat_mp >= 0), sf)
@@ -357,8 +356,11 @@ class SlamSystem:
         # SaveTrajectory walks mTcp up the tree, src/Agent.cc:228-341)
         self.culled_kf = {}
 
-    def add_agent(self) -> int:
-        a = AgentState(agent_id=len(self.agents), cam=self.cam)
+    def add_agent(self, cam: Optional[cam_mod.Camera] = None) -> int:
+        """Register an agent; `cam` allows per-agent intrinsics (same
+        camera kind and image geometry across agents in this build)."""
+        a = AgentState(agent_id=len(self.agents),
+                       cam=self.cam if cam is None else cam)
         a.map_id = self.next_map_id
         self.next_map_id += 1
         self.agents.append(a)
@@ -401,7 +403,7 @@ class SlamSystem:
         uv1 = a.init_frame.uv
         uv2 = frame.uv[jnp.clip(res.idx, 0)]
         self.key, sub = jax.random.split(self.key)
-        Kmat = self.cam.K()
+        Kmat = a.cam.K()
         rec = self.fns["reconstruct"](uv1, uv2, res.ok, Kmat, sub)
         if not bool(rec.ok):
             return
@@ -411,11 +413,11 @@ class SlamSystem:
             self.ms, a.init_frame, frame, q2, t2,
             jnp.arange(cfg.n_feat, dtype=jnp.int32),
             jnp.clip(res.idx, 0), rec.is_triangulated & res.ok,
-            rec.points3d, self.cam.params, a.map_id, a.agent_id,
+            rec.points3d, a.cam.params, a.map_id, a.agent_id,
             jnp.asarray(getattr(a, 'init_ts', ts), jnp.float32),
             jnp.asarray(ts, jnp.float32))
         ms, ok = self.fns["initial_gba_and_rescale"](
-            ms, self.cam.params, kf1, jnp.asarray(a.map_id))
+            ms, kf1, jnp.asarray(a.map_id))
         if not bool(ok):
             return
         self.ms = ms
@@ -450,7 +452,7 @@ class SlamSystem:
         # SearchByProjection th=15, src/Tracking.cc TrackWithMotionModel)
         feat_mp, n_m, q, t, inlier, n_in, visible = self.fns[
             "match_and_pose"](self.ms, frame, q_pred, t_pred,
-                              self.cam.params, local_mask,
+                              a.cam.params, local_mask,
                               jnp.asarray(6.0), M.TH_HIGH, jnp.asarray(0.9))
         n_in_i = int(n_in)
         if n_in_i < cfg.min_track_inliers_lost:
@@ -458,14 +460,14 @@ class SlamSystem:
             # reference-KF tracking)
             feat_mp, n_m, q, t, inlier, n_in, visible = self.fns[
                 "match_and_pose"](self.ms, frame, q_pred, t_pred,
-                                  self.cam.params, local_mask,
+                                  a.cam.params, local_mask,
                                   jnp.asarray(12.0), M.TH_HIGH,
                                   jnp.asarray(0.9))
             n_in_i = int(n_in)
 
         # --- track local map: refine with tighter radius from refined pose
         feat_mp2, n_m2, q2, t2, inlier2, n_in2, visible2 = self.fns[
-            "match_and_pose"](self.ms, frame, q, t, self.cam.params,
+            "match_and_pose"](self.ms, frame, q, t, a.cam.params,
                               local_mask, jnp.asarray(1.0), M.TH_HIGH,
                               jnp.asarray(0.8))
         n_in2_i = int(n_in2)
@@ -549,14 +551,14 @@ class SlamSystem:
             ok = res.ok & (mp >= 0) & ms.mp_valid[jnp.clip(mp, 0)]
             self.key, sub = jax.random.split(self.key)
             pr = pnp_mod.ransac_pnp(
-                pts, frame.uv, ok, self.cam, sub,
+                pts, frame.uv, ok, a.cam, sub,
                 jnp.asarray(self.cfg.inv_sigma2)[frame.level])
             if not bool(pr.ok):
                 continue
             # refine against the candidate's local map
             local_mask = self.fns["local_mp_mask"](ms, jnp.asarray(cand), 32)
             feat_mp, n_m, q, t, inlier, n_in, visible = self.fns[
-                "match_and_pose"](ms, frame, pr.q, pr.t, self.cam.params,
+                "match_and_pose"](ms, frame, pr.q, pr.t, a.cam.params,
                                   local_mask, jnp.asarray(4.0), M.TH_HIGH,
                                   jnp.asarray(0.9))
             if int(n_in) < 30:
@@ -611,7 +613,7 @@ class SlamSystem:
         feat_mp_in = jnp.where(inlier, feat_mp, S.NO_MP)
         ms, kf = self.fns["add_kf_step"](
             self.ms, frame, a.q, a.t, feat_mp_in, a.agent_id, a.map_id, ts,
-            a.next_agent_kf_id)
+            a.next_agent_kf_id, a.cam.params)
         kf = int(kf)
         self.ms = ms
         a.next_agent_kf_id += 1
@@ -641,17 +643,17 @@ class SlamSystem:
                 continue
             ms, n = self.fns["triangulate_step"](
                 ms, jnp.asarray(kf), jnp.asarray(int(idx_np[j])),
-                self.cam.params, jnp.asarray(a.map_id))
+                jnp.asarray(a.map_id))
             n_new += int(n)
         ms = self.fns["refresh_stats"](ms, ms.mp_valid)
         # fuse with neighborhood map points
         local_mask = self.fns["local_mp_mask"](ms, jnp.asarray(kf), 16)
-        ms, n_fused = self.fns["fuse_step"](ms, jnp.asarray(kf), local_mask,
-                                            self.cam.params)
+        ms, n_fused = self.fns["fuse_step"](ms, jnp.asarray(kf),
+                                            local_mask)
         ms = self.fns["refresh_stats"](ms, ms.mp_valid)
         # local BA
         if int(ms.n_kf) > 2:
-            ms = self.fns["local_ba"](ms, jnp.asarray(kf), self.cam.params)
+            ms = self.fns["local_ba"](ms, jnp.asarray(kf))
 
         # keyframe culling over the covisible window (reference
         # KeyFrameCulling: >=90% of tracked points redundant in >=3 other

@@ -82,7 +82,8 @@ def horn_sim3(p1: jnp.ndarray, p2: jnp.ndarray, w=None, fix_scale=False):
 
 def ransac_sim3(p1: jnp.ndarray, p2: jnp.ndarray, valid: jnp.ndarray,
                 uv1: jnp.ndarray, uv2: jnp.ndarray,
-                cam: cam_mod.Camera, q1_cw, t1_cw, q2_cw, t2_cw,
+                cam1: cam_mod.Camera, cam2: cam_mod.Camera,
+                q1_cw, t1_cw, q2_cw, t2_cw,
                 key, sigma2_1, sigma2_2,
                 n_iter: int = 128, chi2_th: float = 9.21,
                 min_inliers: int = 20, fix_scale: bool = False
@@ -115,7 +116,7 @@ def ransac_sim3(p1: jnp.ndarray, p2: jnp.ndarray, valid: jnp.ndarray,
         # project pc2 through S12 into cam1 pixels
         p12 = sh[:, None, None] * lie.quat_rotate(qh[:, None, :],
                                                   pc2[None]) + th[:, None, :]
-        pr1 = cam_mod.project_ideal(cam, p12)
+        pr1 = cam_mod.project_ideal(cam1, p12)
         e1 = jnp.sum((pr1 - uv1[None]) ** 2, axis=-1) / sigma2_1[None]
         # inverse: S21 = (1/s, R^T, -1/s R^T t)
         qi = lie.quat_conj(qh)
@@ -123,7 +124,7 @@ def ransac_sim3(p1: jnp.ndarray, p2: jnp.ndarray, valid: jnp.ndarray,
         ti = -si[:, None] * lie.quat_rotate(qi, th)
         p21 = si[:, None, None] * lie.quat_rotate(qi[:, None, :],
                                                   pc1[None]) + ti[:, None, :]
-        pr2 = cam_mod.project_ideal(cam, p21)
+        pr2 = cam_mod.project_ideal(cam2, p21)
         e2 = jnp.sum((pr2 - uv2[None]) ** 2, axis=-1) / sigma2_2[None]
         inl = (e1 < chi2_th) & (e2 < chi2_th) & valid[None]
         return inl
@@ -149,7 +150,8 @@ def ransac_sim3(p1: jnp.ndarray, p2: jnp.ndarray, valid: jnp.ndarray,
 
 
 def optimize_sim3(q12, t12, s12, pc1, pc2, uv1, uv2, valid,
-                  cam: cam_mod.Camera, sigma2_1, sigma2_2,
+                  cam1: cam_mod.Camera, cam2: cam_mod.Camera,
+                  sigma2_1, sigma2_2,
                   iters: int = 20, huber2: float = 100.0,
                   fix_scale: bool = False):
     """GN refinement of S12 with bidirectional reprojection residuals
@@ -162,11 +164,11 @@ def optimize_sim3(q12, t12, s12, pc1, pc2, uv1, uv2, valid,
         q, t, log_s = params
         s = jnp.exp(log_s)
         p12 = s * lie.quat_rotate(q[None], pc2) + t[None]
-        r1 = (cam_mod.project_ideal(cam, p12) - uv1) / jnp.sqrt(
+        r1 = (cam_mod.project_ideal(cam1, p12) - uv1) / jnp.sqrt(
             sigma2_1)[:, None]
         qi = lie.quat_conj(q)
         p21 = (1.0 / s) * lie.quat_rotate(qi[None], pc1 - t[None])
-        r2 = (cam_mod.project_ideal(cam, p21) - uv2) / jnp.sqrt(
+        r2 = (cam_mod.project_ideal(cam2, p21) - uv2) / jnp.sqrt(
             sigma2_2)[:, None]
         return r1, r2
 

@@ -53,7 +53,7 @@ def test_four_agents_merge_and_distributed_gba():
     anchor = jnp.argmax(in_map)
     opt_mask = in_map.at[anchor].set(False)
     prob = steps.build_local_ba_problem(
-        ms, opt_mask, cam, jnp.asarray(cfg.inv_sigma2))
+        ms, opt_mask, jnp.asarray(cfg.inv_sigma2))
 
     local = ba_mod.run_ba(prob, cameras.PINHOLE, iters=6, cg_iters=30)
     mesh = Mesh(np.array(jax.devices()[:8]), ("edge",))

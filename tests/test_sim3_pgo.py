@@ -64,7 +64,7 @@ def test_ransac_sim3_recovers_with_outliers():
     zero = jnp.zeros(3)
     res = sim3.ransac_sim3(
         jnp.asarray(pc1), jnp.asarray(pc2), jnp.ones(n, bool),
-        jnp.asarray(uv1), jnp.asarray(uv2), CAM,
+        jnp.asarray(uv1), jnp.asarray(uv2), CAM, CAM,
         ident_q, zero, ident_q, zero, jax.random.PRNGKey(0),
         jnp.ones(n), jnp.ones(n))
     assert bool(res.ok)
@@ -88,7 +88,7 @@ def test_optimize_sim3_refines():
     s0 = jnp.asarray(s * 1.08, jnp.float32)
     q, tg, sg, inl, n_in = sim3.optimize_sim3(
         q0, t0, s0, jnp.asarray(pc1), jnp.asarray(pc2),
-        jnp.asarray(uv1), jnp.asarray(uv2), jnp.ones(n, bool), CAM,
+        jnp.asarray(uv1), jnp.asarray(uv2), jnp.ones(n, bool), CAM, CAM,
         jnp.ones(n), jnp.ones(n))
     Rg = np.asarray(lie.quat_to_matrix(q))
     err = np.rad2deg(np.linalg.norm(Rsc.from_matrix(Rg @ R.T).as_rotvec()))
