@@ -8,8 +8,9 @@ Mirrors the reference's layer-9 API (``include/MultiAgentSystem.h:65-96``,
 Differences from the reference, by design:
 * no vocabulary text file is required — the BoW vocabulary is trained from
   the stream (or pass one built with ``ops.bow.build_vocabulary``);
-* per-agent settings must agree on image geometry (agents share batched
-  device pipelines; heterogeneous rigs are a declared round-2 item);
+* per-agent calibrations are supported (per-KF intrinsics flow through
+  matching/triangulation/BA); settings must agree on image geometry and
+  camera KIND (shared batched device pipelines);
 * the viewer is headless (io/viewer.py) — no Pangolin.
 """
 

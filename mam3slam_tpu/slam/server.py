@@ -557,6 +557,24 @@ class LoopServer:
                                   ms.mp_max_dist))
         sysm.ms = ms
 
+        # invert the spanning-tree chain across the seam (reference
+        # :2608-2624): the merging KF becomes a child of the matched KF,
+        # and its old ancestor chain is reversed so the merged map has a
+        # single connected tree rooted in the target map.
+        parent = np.asarray(ms.kf_parent).copy()
+        chain = [kf]
+        p = int(parent[kf])
+        seen = 0
+        while p >= 0 and seen < parent.shape[0]:
+            chain.append(p)
+            p = int(parent[p])
+            seen += 1
+        for child, par in zip(chain[:-1], chain[1:]):
+            parent[par] = child  # invert each edge along the chain
+        parent[kf] = h.target_kf
+        ms = ms._replace(kf_parent=jnp.asarray(parent))
+        sysm.ms = ms
+
         # retarget every agent of the absorbed map (reference :2595-2603)
         for a in sysm.agents:
             if a.map_id == cur_map:
