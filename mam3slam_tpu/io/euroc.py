@@ -48,15 +48,84 @@ def load_groundtruth(seq_dir: str) -> np.ndarray:
     return np.array(rows)
 
 
+_LOADER_LIB = None
+
+
+def _load_native():
+    """ctypes handle to native/libloader.so (PNG decode + prefetch ring)."""
+    global _LOADER_LIB
+    if _LOADER_LIB is not None:
+        return _LOADER_LIB or None
+    import ctypes
+
+    path = os.path.join(os.path.dirname(__file__), "..", "..", "native",
+                        "libloader.so")
+    try:
+        lib = ctypes.CDLL(os.path.abspath(path))
+        lib.loader_open.restype = ctypes.c_void_p
+        lib.loader_open.argtypes = [ctypes.POINTER(ctypes.c_char_p),
+                                    ctypes.c_int64, ctypes.c_int64]
+        lib.loader_next.restype = ctypes.c_int
+        lib.loader_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_int64,
+                                    ctypes.POINTER(ctypes.c_int),
+                                    ctypes.POINTER(ctypes.c_int)]
+        lib.loader_close.argtypes = [ctypes.c_void_p]
+        lib.decode_png_gray.restype = ctypes.c_int
+        lib.decode_png_gray.argtypes = [ctypes.c_char_p, ctypes.c_void_p,
+                                        ctypes.c_int64,
+                                        ctypes.POINTER(ctypes.c_int),
+                                        ctypes.POINTER(ctypes.c_int)]
+        _LOADER_LIB = lib
+    except OSError:
+        _LOADER_LIB = False
+        return None
+    return _LOADER_LIB
+
+
 def frames(seq_dir: str, cam: str = "cam0",
-           max_frames: Optional[int] = None
+           max_frames: Optional[int] = None, backend: str = "auto",
+           max_hw: Tuple[int, int] = (1536, 2048)
            ) -> Iterator[Tuple[float, np.ndarray]]:
-    """Yield (timestamp_s, grayscale f32 [H, W]) frames."""
-    import cv2
+    """Yield (timestamp_s, grayscale f32 [H, W]) frames.
+
+    ``backend`` "auto" prefers the native C++ loader (zlib PNG decode on a
+    prefetch thread, native/loader.cc — the TPU build's analog of the
+    reference's C++ ROS image feeders), falling back to cv2.
+    """
+    import ctypes
 
     index = load_image_index(seq_dir, cam)
     if max_frames:
         index = index[:max_frames]
+
+    lib = _load_native() if backend in ("auto", "native") else None
+    if lib is not None:
+        paths = (ctypes.c_char_p * len(index))(
+            *[p.encode() for _, p in index])
+        handle = lib.loader_open(paths, len(index), 8)
+        buf = np.empty(max_hw, np.uint8)
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        try:
+            for ts, _ in index:
+                rc = lib.loader_next(handle, buf.ctypes.data, buf.nbytes,
+                                     ctypes.byref(w), ctypes.byref(h))
+                if rc < 0:
+                    break
+                if rc == 0:
+                    continue
+                img = buf.flat[: w.value * h.value].reshape(
+                    h.value, w.value).astype(np.float32)
+                yield ts, img
+        finally:
+            lib.loader_close(handle)
+        return
+    if backend == "native":
+        raise RuntimeError("native loader unavailable (run native/build.sh)")
+
+    import cv2
+
     for ts, path in index:
         img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
         if img is None:

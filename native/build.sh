@@ -9,3 +9,5 @@ else
   g++ $CXXFLAGS vocab.cc -o libvocab.so
   echo "built libvocab.so (serial)"
 fi
+g++ $CXXFLAGS loader.cc -lz -lpthread -o libloader.so
+echo "built libloader.so"
