@@ -162,6 +162,26 @@ def delta_position(p: Preintegrated, bias_g, bias_a):
     return p.dP + p.JPg @ (bias_g - p.bias_g) + p.JPa @ (bias_a - p.bias_a)
 
 
+def inertial_residual(p: Preintegrated, R_i, v_i, p_i, R_j, v_j, p_j,
+                      bias_g, bias_a, gravity=None):
+    """9-DoF preintegration residual between nav states i and j
+    (the reference's ``EdgeInertial`` error, include/G2oTypes.h): rotation,
+    velocity and position discrepancies vs the bias-corrected deltas.
+
+    States are world-frame (R_wb [3,3], v [3], p [3]).  Differentiable —
+    feed to a GN/LM solver with autodiff jacobians for inertial BA.
+    """
+    g = jnp.asarray([0.0, 0.0, -GRAVITY]) if gravity is None else gravity
+    dt = p.dt
+    dR = delta_rotation(p, bias_g)
+    dV = delta_velocity(p, bias_g, bias_a)
+    dP = delta_position(p, bias_g, bias_a)
+    er = lie.so3_log(dR.T @ (R_i.T @ R_j))
+    ev = R_i.T @ (v_j - v_i - g * dt) - dV
+    ep = R_i.T @ (p_j - p_i - v_i * dt - 0.5 * g * dt * dt) - dP
+    return jnp.concatenate([er, ev, ep])
+
+
 def predict_state(p: Preintegrated, R_wb, v_w, p_w, bias_g, bias_a,
                   gravity=None):
     """Propagate a world-frame IMU state through the preintegrated window

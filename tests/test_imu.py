@@ -92,3 +92,36 @@ def test_masked_padding_is_noop():
     np.testing.assert_allclose(np.asarray(p_pad.dP), np.asarray(p_full.dP),
                                atol=1e-6)
     assert abs(float(p_pad.dt) - float(p_full.dt)) < 1e-6
+
+
+def test_inertial_residual_zero_at_truth():
+    """Residual vanishes when states follow the preintegrated motion, and
+    grows under perturbation (EdgeInertial semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    gyro, acc, dts, dR_gt, dV_gt, dP_gt = simulate(seed=4)
+    p = imu.preintegrate(jnp.asarray(gyro), jnp.asarray(acc),
+                         jnp.asarray(dts), jnp.ones(len(dts), bool),
+                         jnp.zeros(3), jnp.zeros(3), CAL)
+    # gravity-free synthetic world -> pass zero gravity
+    g0 = jnp.zeros(3)
+    R_i = jnp.eye(3)
+    v_i = jnp.zeros(3)
+    p_i = jnp.zeros(3)
+    R_j, v_j, p_j = imu.predict_state(p, R_i, v_i, p_i, jnp.zeros(3),
+                                      jnp.zeros(3), gravity=g0)
+    r = imu.inertial_residual(p, R_i, v_i, p_i, R_j, v_j, p_j,
+                              jnp.zeros(3), jnp.zeros(3), gravity=g0)
+    assert float(jnp.abs(r).max()) < 1e-4
+
+    # perturb the terminal state -> residual reflects it
+    r2 = imu.inertial_residual(p, R_i, v_i, p_i, R_j, v_j + 0.1,
+                               p_j, jnp.zeros(3), jnp.zeros(3), gravity=g0)
+    assert float(jnp.abs(r2).max()) > 0.05
+
+    # differentiable (for inertial BA)
+    grad = jax.grad(lambda vj: jnp.sum(imu.inertial_residual(
+        p, R_i, v_i, p_i, R_j, vj, p_j, jnp.zeros(3), jnp.zeros(3),
+        gravity=g0) ** 2))(v_j)
+    assert bool(jnp.all(jnp.isfinite(grad)))
