@@ -148,18 +148,30 @@ def _gaussian_kernel_1d(ksize: int = 7, sigma: float = 2.0) -> np.ndarray:
 
 def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0):
     """Separable Gaussian blur with reflect-101 border (matches the
-    reference's cv::GaussianBlur(7,7,2,2,BORDER_REFLECT_101))."""
-    k = jnp.asarray(_gaussian_kernel_1d(ksize, sigma))
+    reference's cv::GaussianBlur(7,7,2,2,BORDER_REFLECT_101)).
+
+    Implemented as explicit shifted adds (7+7 taps), not conv: a
+    single-channel 7-tap conv can't tile onto the MXU and lowers to a slow
+    scalar path, while shifted adds are pure VPU elementwise work that XLA
+    fuses into one kernel.  Supports [..., H, W].
+    """
+    k = _gaussian_kernel_1d(ksize, sigma)
     r = ksize // 2
-    x = jnp.pad(img, ((r, r), (0, 0)), mode="reflect")
-    x = jax.lax.conv_general_dilated(
-        x[None, None], k[None, None, :, None], (1, 1), "VALID",
-        preferred_element_type=jnp.float32)[0, 0]
-    x = jnp.pad(x, ((0, 0), (r, r)), mode="reflect")
-    x = jax.lax.conv_general_dilated(
-        x[None, None], k[None, None, None, :], (1, 1), "VALID",
-        preferred_element_type=jnp.float32)[0, 0]
-    return x
+    h, w = img.shape[-2], img.shape[-1]
+    nb = img.ndim - 2
+    pad_v = [(0, 0)] * nb + [(r, r), (0, 0)]
+    x = jnp.pad(img, pad_v, mode="reflect")
+    out = None
+    for i in range(ksize):
+        term = float(k[i]) * jax.lax.slice_in_dim(x, i, i + h, axis=nb)
+        out = term if out is None else out + term
+    pad_h = [(0, 0)] * nb + [(0, 0), (r, r)]
+    x = jnp.pad(out, pad_h, mode="reflect")
+    out = None
+    for i in range(ksize):
+        term = float(k[i]) * jax.lax.slice_in_dim(x, i, i + w, axis=nb + 1)
+        out = term if out is None else out + term
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -167,47 +179,62 @@ def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0):
 # ---------------------------------------------------------------------------
 
 def fast_score_map(img: jnp.ndarray) -> jnp.ndarray:
-    """Dense FAST-9/16 corner score (max passing threshold), [H, W] f32.
+    """Dense FAST-9/16 corner score (max passing threshold), [..., H, W] f32.
 
     score(p) = max over bright/dark polarity and over the 16 circular arc
     start positions of the minimum contiguous-9 difference.  A pixel is an
     OpenCV FAST corner at threshold t iff score > t, so one map serves the
     reference's dual-threshold scheme (iniThFAST=20 / minThFAST=7).
+    Batch dims (e.g. a stacked pyramid) evaluate in one fused kernel.
     """
-    pad = jnp.pad(img, 3, mode="edge")
-    h, w = img.shape
-    shifted = jnp.stack(
-        [pad[3 + dy: 3 + dy + h, 3 + dx: 3 + dx + w]
-         for dx, dy in _FAST_OFFSETS],
-        axis=0,
-    )  # [16, H, W]
-    diffs = shifted - img[None]
+    nb = img.ndim - 2
+    h, w = img.shape[-2], img.shape[-1]
+    pad = jnp.pad(img, [(0, 0)] * nb + [(3, 3), (3, 3)], mode="edge")
+    # Keep the 16 shifted views as separate slice expressions (NOT stacked/
+    # concatenated): a stack forces XLA to materialize [16, ..., H, W]
+    # intermediates in HBM; as a flat elementwise DAG over slices of one
+    # padded buffer the whole score fuses into a single VPU kernel.
+    diffs = [
+        jax.lax.slice_in_dim(
+            jax.lax.slice_in_dim(pad, 3 + dy, 3 + dy + h, axis=nb),
+            3 + dx, 3 + dx + w, axis=nb + 1) - img
+        for dx, dy in _FAST_OFFSETS]
 
-    def arc_min(d):
-        # circular windows as slices of a wrapped copy (cheaper than rolls)
-        d_ext = jnp.concatenate([d, d[:8]], axis=0)  # [24, H, W]
-        wm = d_ext[0:16]
-        for k in range(1, 9):
-            wm = jnp.minimum(wm, d_ext[k: k + 16])
-        return jnp.max(wm, axis=0)  # max over arc starts
+    def arc_min_max(d):
+        """max over the 16 arc starts of the min over 9 contiguous diffs,
+        via sliding-window re-association: min9[i] = min(min3[i],
+        min3[i+3], min3[i+6]) — 4 min-ops per start instead of 8."""
+        m3 = [jnp.minimum(jnp.minimum(d[i], d[(i + 1) % 16]),
+                          d[(i + 2) % 16]) for i in range(16)]
+        m9 = [jnp.minimum(jnp.minimum(m3[i], m3[(i + 3) % 16]),
+                          m3[(i + 6) % 16]) for i in range(16)]
+        out = m9[0]
+        for i in range(1, 16):
+            out = jnp.maximum(out, m9[i])
+        return out
 
-    score_dark = arc_min(-diffs)   # center brighter than arc
-    score_bright = arc_min(diffs)  # center darker than arc
+    score_bright = arc_min_max(diffs)            # center darker than arc
+    score_dark = arc_min_max([-d for d in diffs])  # center brighter
     return jnp.maximum(score_bright, score_dark)
 
 
 def _nms3(score: jnp.ndarray) -> jnp.ndarray:
     """3x3 non-max suppression mask (strictly greater than 8-neighborhood,
-    ties broken toward the raster-first pixel via epsilon on index)."""
-    p = jnp.pad(score, 1, mode="constant", constant_values=-jnp.inf)
-    h, w = score.shape
-    neigh = []
+    ties broken toward the raster-first pixel via epsilon on index).
+    Supports [..., H, W]."""
+    nb = score.ndim - 2
+    h, w = score.shape[-2], score.shape[-1]
+    p = jnp.pad(score, [(0, 0)] * nb + [(1, 1), (1, 1)],
+                mode="constant", constant_values=-jnp.inf)
+    m = None
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             if dy == 0 and dx == 0:
                 continue
-            neigh.append(p[1 + dy: 1 + dy + h, 1 + dx: 1 + dx + w])
-    m = jnp.stack(neigh, 0).max(axis=0)
+            n = jax.lax.slice_in_dim(
+                jax.lax.slice_in_dim(p, 1 + dy, 1 + dy + h, axis=nb),
+                1 + dx, 1 + dx + w, axis=nb + 1)
+            m = n if m is None else jnp.maximum(m, n)
     return score >= m
 
 
@@ -270,6 +297,177 @@ def _select_level_keypoints(score: jnp.ndarray, cfg: OrbConfig, budget: int):
         valid = jnp.pad(valid, (0, padn))
     xy = jnp.stack([sel_x, sel_y], axis=-1).astype(jnp.int32)
     return xy, jnp.where(valid, sel_v, 0.0), valid
+
+
+# ---------------------------------------------------------------------------
+# stacked-pyramid batched paths (the production extract_orb internals)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _stack_constants(cfg: OrbConfig):
+    """Static per-config arrays for the stacked-pyramid path: the per-level
+    eligibility mask (detection border inside each level's true extent) and
+    per-keypoint-slot level ids / scales / level extents."""
+    L = cfg.n_levels
+    Hp, Wp = cfg.level_sizes[0]
+    border = EDGE_THRESHOLD - 3
+    elig = np.zeros((L, Hp, Wp), bool)
+    for lv in range(L):
+        h, w = cfg.level_sizes[lv]
+        elig[lv, border:h - border, border:w - border] = True
+    lvl = np.concatenate([np.full(cfg.level_budgets[lv], lv, np.int32)
+                          for lv in range(L)])
+    scales = np.asarray(cfg.scales, np.float32)[lvl]
+    hws = np.array(cfg.level_sizes, np.int32)[lvl]  # [N, 2] (h, w)
+    return elig, lvl, scales, hws
+
+
+def _select_keypoints_stacked(score: jnp.ndarray, cfg: OrbConfig):
+    """Batched per-level grid-bucket top-K over a stacked score map.
+
+    score: [L, Hp, Wp] (levels zero-padded to the level-0 extent).
+    Returns (xy [N, 2] i32 level coords, response [N], valid [N]) with N =
+    sum of level budgets, ordered by level — one top_k call for all levels
+    instead of two per level.
+    """
+    L, Hp, Wp = score.shape
+    elig_np, _, _, _ = _stack_constants(cfg)
+    nms = _nms3(score)
+    eligible = jnp.asarray(elig_np) & nms & (score > cfg.min_th)
+    s = jnp.where(eligible, score, -jnp.inf)
+
+    cell = cfg.cell
+    hc, wc = -(-Hp // cell), -(-Wp // cell)
+    s_pad = jnp.pad(s, ((0, 0), (0, hc * cell - Hp), (0, wc * cell - Wp)),
+                    constant_values=-jnp.inf)
+    buckets = s_pad.reshape(L, hc, cell, wc, cell).transpose(0, 1, 3, 2, 4)
+    buckets = buckets.reshape(L, hc * wc, cell * cell)
+    k = min(cfg.per_cell, cell * cell)
+    top_v, top_i = jax.lax.top_k(buckets, k)  # [L, ncells, k]
+
+    cy = (jnp.arange(hc * wc) // wc).astype(jnp.int32)
+    cx = (jnp.arange(hc * wc) % wc).astype(jnp.int32)
+    gy = cy[None, :, None] * cell + (top_i // cell)
+    gx = cx[None, :, None] * cell + (top_i % cell)
+
+    rank = jnp.broadcast_to(jnp.arange(k, dtype=jnp.float32)[None, None, :],
+                            top_v.shape)
+    strong = (top_v > cfg.ini_th).astype(jnp.float32)
+    prio = jnp.where(jnp.isfinite(top_v),
+                     -rank * 1e6 + strong * 1e3 + top_v, -jnp.inf)
+
+    max_b = max(cfg.level_budgets)
+    flat_prio = prio.reshape(L, -1)
+    sel_p, sel_idx = jax.lax.top_k(flat_prio, min(max_b, flat_prio.shape[1]))
+    sel_x = jnp.take_along_axis(gx.reshape(L, -1), sel_idx, axis=1)
+    sel_y = jnp.take_along_axis(gy.reshape(L, -1), sel_idx, axis=1)
+    sel_v = jnp.take_along_axis(top_v.reshape(L, -1), sel_idx, axis=1)
+    val = jnp.isfinite(sel_p)
+
+    xs, ys, vs, oks = [], [], [], []
+    for lv in range(L):
+        b = cfg.level_budgets[lv]
+        if b == 0:
+            continue
+        n = min(b, sel_idx.shape[1])
+        pad = b - n
+        xs.append(jnp.pad(sel_x[lv, :n], (0, pad)))
+        ys.append(jnp.pad(sel_y[lv, :n], (0, pad)))
+        vs.append(jnp.pad(sel_v[lv, :n], (0, pad)))
+        oks.append(jnp.pad(val[lv, :n], (0, pad)))
+    xy = jnp.stack([jnp.concatenate(xs), jnp.concatenate(ys)],
+                   axis=-1).astype(jnp.int32)
+    valid = jnp.concatenate(oks)
+    resp = jnp.where(valid, jnp.concatenate(vs), 0.0)
+    return xy, resp, valid
+
+
+def _ic_angles_stacked(stack: jnp.ndarray, xy: jnp.ndarray,
+                       lvl: jnp.ndarray) -> jnp.ndarray:
+    """IC orientation from per-row prefix sums of the stacked pyramid.
+
+    Instead of gathering the full 31x31 patch per keypoint (961 scattered
+    HBM reads each), gather 4 prefix-sum values per patch row: the windowed
+    sums  sum I  and  sum x·I  over the circular row extent come from
+    inclusive cumsums C / Cx, so a patch costs 31x4 reads — ~8x less
+    gather traffic, exact same moments (reference IC_Angle,
+    ORBextractor.cc:76).  Keypoints sit >= 16 px inside their level extent
+    (> r=15), so no window ever crosses a level border.
+    """
+    L, Hp, Wp = stack.shape
+    r = HALF_PATCH
+    umax = _circular_umax()
+    C = jnp.cumsum(stack, axis=2)
+    Cx = jnp.cumsum(stack * jnp.arange(Wp, dtype=stack.dtype)[None, None, :],
+                    axis=2)
+    dy = jnp.arange(-r, r + 1, dtype=jnp.int32)          # [31]
+    u = jnp.asarray(umax[np.abs(np.arange(-r, r + 1))], jnp.int32)
+    x = xy[:, 0][:, None]
+    y = xy[:, 1][:, None]
+    rows = jnp.clip(y + dy[None, :], 0, Hp - 1)           # [N, 31]
+    hi = jnp.clip(x + u[None, :], 0, Wp - 1)
+    lo = jnp.clip(x - u[None, :] - 1, -1, Wp - 1)
+    base = (lvl[:, None] * Hp + rows) * Wp
+    lo_ok = (lo >= 0).astype(stack.dtype)
+    # ONE gather for all four operand sets: XLA's TPU gather has ~1 ms
+    # fixed cost per op regardless of element count, so C-hi/C-lo/Cx-hi/
+    # Cx-lo come from a single [N, 124] take on the concatenated sources
+    n_el = L * Hp * Wp
+    src = jnp.concatenate([C.reshape(-1), Cx.reshape(-1)])
+    idx = jnp.concatenate(
+        [base + hi, base + jnp.maximum(lo, 0),
+         n_el + base + hi, n_el + base + jnp.maximum(lo, 0)], axis=1)
+    g = jnp.take(src, idx)                                # [N, 124]
+    n31 = dy.shape[0]
+    sumI = g[:, :n31] - lo_ok * g[:, n31:2 * n31]
+    sumXI = g[:, 2 * n31:3 * n31] - lo_ok * g[:, 3 * n31:]
+    m10 = jnp.sum(sumXI - x.astype(stack.dtype) * sumI, axis=1)
+    m01 = jnp.sum(dy[None, :].astype(stack.dtype) * sumI, axis=1)
+    return jnp.arctan2(m01, m10)
+
+
+def _brief_descriptors_stacked(blur_stack: jnp.ndarray, xy: jnp.ndarray,
+                               lvl: jnp.ndarray, hw: jnp.ndarray,
+                               angle: jnp.ndarray) -> jnp.ndarray:
+    """256-bit rBRIEF over the stacked blurred pyramid: one flat gather of
+    [N, 512] samples (vs one [budget, 512] gather per level).  Sample
+    coords clip to each keypoint's true level extent `hw` [N, 2] (h, w),
+    matching the per-level clipping of the unstacked path."""
+    L, Hp, Wp = blur_stack.shape
+    pat = jnp.asarray(_PATTERN, jnp.float32)              # [256, 4]
+    pxy = jnp.concatenate([pat[:, 0:2], pat[:, 2:4]], axis=0)  # [512, 2]
+    ca, sa = jnp.cos(angle), jnp.sin(angle)
+    px, py = pxy[:, 0], pxy[:, 1]
+    rx = jnp.round(px[None, :] * ca[:, None] - py[None, :] * sa[:, None])
+    ry = jnp.round(px[None, :] * sa[:, None] + py[None, :] * ca[:, None])
+    gx = jnp.clip(xy[:, 0:1] + rx.astype(jnp.int32), 0, hw[:, 1:2] - 1)
+    gy = jnp.clip(xy[:, 1:2] + ry.astype(jnp.int32), 0, hw[:, 0:1] - 1)
+    idx = (lvl[:, None] * Hp + gy) * Wp + gx
+    v = jnp.take(blur_stack.reshape(-1), idx)             # [N, 512]
+    va, vb = v[:, :256], v[:, 256:]
+    bits = va < vb
+    return pack_bits_256(bits)
+
+
+@functools.lru_cache(maxsize=None)
+def _pack_matrix():
+    """[256, 16] f32: pack 256 bits into 16 u16 words on the MXU.  Exact in
+    f32 (word values < 2^16 < 2^24); little-endian u16 -> u8 bitcast yields
+    the OpenCV byte/bit order (bit 16w+b == byte 2w+b//8, bit b%8)."""
+    P = np.zeros((256, 16), np.float32)
+    for p in range(256):
+        P[p, p // 16] = float(1 << (p % 16))
+    return P
+
+
+def pack_bits_256(bits: jnp.ndarray) -> jnp.ndarray:
+    """[N, 256] bool -> [N, 32] uint8 descriptor bytes via one MXU matmul
+    (a shift/accumulate pack costs ~1 ms of sublane relayouts on TPU)."""
+    w = jnp.dot(bits.astype(jnp.float32), jnp.asarray(_pack_matrix()),
+                preferred_element_type=jnp.float32)
+    w16 = w.astype(jnp.uint16)
+    return jax.lax.bitcast_convert_type(w16, jnp.uint8).reshape(
+        bits.shape[0], 32)
 
 
 # ---------------------------------------------------------------------------
@@ -418,31 +616,37 @@ def extract_orb(img: jnp.ndarray, cfg: OrbConfig) -> Features:
     multi-agent batched front end.
     """
     pyr = compute_pyramid(img, cfg)
-    per_level = []
-    for lv in range(cfg.n_levels):
-        im = pyr[lv]
-        budget = cfg.level_budgets[lv]
-        if budget == 0:
-            continue
-        score = fast_score_map(im)
-        xy_i, resp, valid = _select_level_keypoints(score, cfg, budget)
-        ang = ic_angles(im, xy_i)
-        # Round the blurred image to the integer grid: camera images are
-        # uint8, and rounding makes descriptors bit-exact with OpenCV ORB
-        # (ties in pattern-pair comparisons resolve identically).
-        blur = jnp.round(gaussian_blur(im))
-        desc = brief_descriptors(blur, xy_i, ang)
-        scale = cfg.scales[lv]
-        xy0 = xy_i.astype(jnp.float32) * scale
-        per_level.append(
-            (xy0, jnp.full((budget,), lv, jnp.int32), ang, resp, desc, valid))
+    L = cfg.n_levels
+    Hp, Wp = cfg.level_sizes[0]
+    elig_np, lvl_np, scales_np, hws_np = _stack_constants(cfg)
 
-    xy = jnp.concatenate([p[0] for p in per_level], axis=0)
-    level = jnp.concatenate([p[1] for p in per_level], axis=0)
-    ang = jnp.concatenate([p[2] for p in per_level], axis=0)
-    resp = jnp.concatenate([p[3] for p in per_level], axis=0)
-    desc = jnp.concatenate([p[4] for p in per_level], axis=0)
-    valid = jnp.concatenate([p[5] for p in per_level], axis=0)
+    # zero-pad every level to the level-0 extent and stack: all per-level
+    # work (FAST, NMS, blur, moment prefix sums, gathers) becomes one
+    # batched op each instead of n_levels small dispatches
+    stack = jnp.stack(
+        [jnp.pad(pyr[lv], ((0, Hp - cfg.level_sizes[lv][0]),
+                           (0, Wp - cfg.level_sizes[lv][1])))
+         for lv in range(L)])
+
+    score = fast_score_map(stack)
+    xy_i, resp, valid = _select_keypoints_stacked(score, cfg)
+
+    lvl = jnp.asarray(lvl_np)
+    ang = _ic_angles_stacked(stack, xy_i, lvl)
+    # Round the blurred image to the integer grid: camera images are
+    # uint8, and rounding makes descriptors bit-exact with OpenCV ORB
+    # (ties in pattern-pair comparisons resolve identically).  Blur runs
+    # per level (not on the stack) so reflect borders see the true level
+    # edges, then the blurred levels restack for one descriptor gather.
+    blur_stack = jnp.stack(
+        [jnp.pad(jnp.round(gaussian_blur(pyr[lv])),
+                 ((0, Hp - cfg.level_sizes[lv][0]),
+                  (0, Wp - cfg.level_sizes[lv][1])))
+         for lv in range(L)])
+    desc = _brief_descriptors_stacked(blur_stack, xy_i, lvl,
+                                      jnp.asarray(hws_np), ang)
+    xy = xy_i.astype(jnp.float32) * jnp.asarray(scales_np)[:, None]
+    level = lvl
 
     # pad to static capacity
     n = xy.shape[0]
