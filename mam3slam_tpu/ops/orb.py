@@ -343,7 +343,20 @@ def _select_keypoints_stacked(score: jnp.ndarray, cfg: OrbConfig):
     buckets = s_pad.reshape(L, hc, cell, wc, cell).transpose(0, 1, 3, 2, 4)
     buckets = buckets.reshape(L, hc * wc, cell * cell)
     k = min(cfg.per_cell, cell * cell)
-    top_v, top_i = jax.lax.top_k(buckets, k)  # [L, ncells, k]
+    # per-cell top-k via k iterative (max, argmax, mask) rounds: for tiny k
+    # this is pure VPU reduction work, ~5x cheaper than lax.top_k's
+    # sort-based lowering over the [L, ncells, cell*cell] volume
+    vs, is_ = [], []
+    b = buckets
+    lane = jnp.arange(cell * cell, dtype=jnp.int32)[None, None, :]
+    for r in range(k):
+        i = jnp.argmax(b, axis=-1).astype(jnp.int32)
+        vs.append(jnp.max(b, axis=-1))
+        is_.append(i)
+        if r + 1 < k:
+            b = jnp.where(lane == i[..., None], -jnp.inf, b)
+    top_v = jnp.stack(vs, axis=-1)   # [L, ncells, k]
+    top_i = jnp.stack(is_, axis=-1)
 
     cy = (jnp.arange(hc * wc) // wc).astype(jnp.int32)
     cx = (jnp.arange(hc * wc) % wc).astype(jnp.int32)
@@ -380,6 +393,115 @@ def _select_keypoints_stacked(score: jnp.ndarray, cfg: OrbConfig):
     valid = jnp.concatenate(oks)
     resp = jnp.where(valid, jnp.concatenate(vs), 0.0)
     return xy, resp, valid
+
+
+PATCH = 40  # per-keypoint patch extent: covers IC (r=15) + rotated BRIEF (r<=19)
+
+
+def _extract_patches(stack: jnp.ndarray, xy: jnp.ndarray,
+                     lvl: jnp.ndarray):
+    """Per-keypoint PATCHxPATCH windows from the stacked pyramid.
+
+    Implemented as a vmapped ``dynamic_slice`` — XLA lowers a gather of
+    contiguous 2D slices to DMA block copies, which is ~300x faster on TPU
+    than element gathers (the per-element scalar gather pipeline runs at
+    ~7 ns/element).  Start coords clamp to the stacked extent; the true
+    keypoint position inside the patch is returned as (cy, cx).
+    """
+    L, Hp, Wp = stack.shape
+    stack2d = stack.reshape(L * Hp, Wp)
+    r = PATCH // 2 - 1
+    sy = jnp.clip(xy[:, 1] - r, 0, Hp - PATCH)
+    sx = jnp.clip(xy[:, 0] - r, 0, Wp - PATCH)
+
+    def one(row0, col0):
+        return jax.lax.dynamic_slice(stack2d, (row0, col0), (PATCH, PATCH))
+
+    patches = jax.vmap(one)(lvl * Hp + sy, sx)
+    return patches, xy[:, 1] - sy, xy[:, 0] - sx, sy, sx
+
+
+def _extract_patches_pair(raw_stack: jnp.ndarray, blur_stack: jnp.ndarray,
+                          xy: jnp.ndarray, lvl: jnp.ndarray):
+    """One slice-gather serving both the raw (IC) and blurred (BRIEF)
+    patches: the two stacks interleave on the lane axis, so each
+    keypoint's window is a single [PATCH, 2*PATCH] contiguous slice —
+    slice-gather cost on TPU scales with row count, so pairing halves it."""
+    L, Hp, Wp = raw_stack.shape
+    comb = jnp.stack([raw_stack, blur_stack], axis=-1).reshape(
+        L * Hp, 2 * Wp)
+    r = PATCH // 2 - 1
+    sy = jnp.clip(xy[:, 1] - r, 0, Hp - PATCH)
+    sx = jnp.clip(xy[:, 0] - r, 0, Wp - PATCH)
+
+    def one(row0, col0):
+        return jax.lax.dynamic_slice(comb, (row0, col0), (PATCH, 2 * PATCH))
+
+    p = jax.vmap(one)(lvl * Hp + sy, 2 * sx)
+    return (p[..., 0::2], p[..., 1::2],
+            xy[:, 1] - sy, xy[:, 0] - sx, sy, sx)
+
+
+def _ic_angles_patch(patches: jnp.ndarray, cy: jnp.ndarray,
+                     cx: jnp.ndarray) -> jnp.ndarray:
+    """IC orientation from per-keypoint raw patches (exact reference
+    IC_Angle semantics, ORBextractor.cc:76): the r=15 circular window never
+    crosses a level border (detection border 16 > 15), so the moments are
+    masked weighted sums directly over the PATCH window — the circle mask
+    |dx| <= umax[|dy|] is built arithmetically from the 16-entry umax
+    table (unrolled equality sum), avoiding a per-keypoint re-center
+    slice-gather."""
+    umax = _circular_umax()
+    iy = jnp.arange(PATCH, dtype=jnp.int32)
+    dy = iy[None, :, None] - cy[:, None, None]     # [N, P, 1]
+    dx = iy[None, None, :] - cx[:, None, None]     # [N, 1, P]
+    ady = jnp.abs(dy)
+    u = jnp.zeros_like(ady)
+    for k in range(HALF_PATCH + 1):
+        u = u + jnp.where(ady == k, jnp.int32(int(umax[k])), 0)
+    mask = ((ady <= HALF_PATCH) & (jnp.abs(dx) <= u)).astype(patches.dtype)
+    m10 = jnp.sum(patches * (dx.astype(patches.dtype) * mask), axis=(1, 2))
+    m01 = jnp.sum(patches * (dy.astype(patches.dtype) * mask), axis=(1, 2))
+    return jnp.arctan2(m01, m10)
+
+
+def _brief_descriptors_patch(blur_patches: jnp.ndarray, cy: jnp.ndarray,
+                             cx: jnp.ndarray, sy: jnp.ndarray,
+                             sx: jnp.ndarray, hw: jnp.ndarray,
+                             angle: jnp.ndarray) -> jnp.ndarray:
+    """256-bit rBRIEF sampled inside per-keypoint blurred patches.
+
+    The 512 rotated pattern taps are read with two one-hot bf16
+    contractions (row select on the MXU, column select as a masked
+    reduction) instead of an element gather.  Exactness: blurred-and-
+    rounded pixels are integers <= 255, exactly representable in bf16, and
+    a one-hot dot touches exactly one of them — so the sampled values (and
+    the descriptor bits) are bit-identical to a direct gather.
+    Sample coords clip to the keypoint's true level extent `hw` [N, 2]
+    (h, w), matching the reference's border clamping.
+    """
+    n = blur_patches.shape[0]
+    pat = jnp.asarray(_PATTERN, jnp.float32)                   # [256, 4]
+    pxy = jnp.concatenate([pat[:, 0:2], pat[:, 2:4]], axis=0)  # [512, 2]
+    ca, sa = jnp.cos(angle), jnp.sin(angle)
+    px, py = pxy[:, 0], pxy[:, 1]
+    rx = jnp.round(px[None, :] * ca[:, None] - py[None, :] * sa[:, None])
+    ry = jnp.round(px[None, :] * sa[:, None] + py[None, :] * ca[:, None])
+    # global coords clipped to the level extent, then patch-relative
+    gx = jnp.clip((sx + cx)[:, None] + rx.astype(jnp.int32), 0, hw[:, 1:2] - 1)
+    gy = jnp.clip((sy + cy)[:, None] + ry.astype(jnp.int32), 0, hw[:, 0:1] - 1)
+    pr = gy - sy[:, None]                                      # [N, 512]
+    pc = gx - sx[:, None]
+    oh_r = (jnp.arange(PATCH, dtype=jnp.int32)[None, None, :]
+            == pr[:, :, None]).astype(jnp.bfloat16)            # [N, 512, P]
+    rows = jnp.einsum("ncr,nrw->ncw", oh_r,
+                      blur_patches.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.bfloat16)     # [N, 512, P]
+    oh_c = (jnp.arange(PATCH, dtype=jnp.int32)[None, None, :]
+            == pc[:, :, None]).astype(jnp.bfloat16)
+    v = jnp.sum(rows * oh_c, axis=-1).astype(jnp.float32)      # [N, 512]
+    bits = v[:, :256] < v[:, 256:]
+    return pack_bits_256(bits)
 
 
 def _ic_angles_stacked(stack: jnp.ndarray, xy: jnp.ndarray,
@@ -632,19 +754,21 @@ def extract_orb(img: jnp.ndarray, cfg: OrbConfig) -> Features:
     xy_i, resp, valid = _select_keypoints_stacked(score, cfg)
 
     lvl = jnp.asarray(lvl_np)
-    ang = _ic_angles_stacked(stack, xy_i, lvl)
     # Round the blurred image to the integer grid: camera images are
     # uint8, and rounding makes descriptors bit-exact with OpenCV ORB
     # (ties in pattern-pair comparisons resolve identically).  Blur runs
     # per level (not on the stack) so reflect borders see the true level
-    # edges, then the blurred levels restack for one descriptor gather.
+    # edges, then the blurred levels restack for one patch extraction.
     blur_stack = jnp.stack(
         [jnp.pad(jnp.round(gaussian_blur(pyr[lv])),
                  ((0, Hp - cfg.level_sizes[lv][0]),
                   (0, Wp - cfg.level_sizes[lv][1])))
          for lv in range(L)])
-    desc = _brief_descriptors_stacked(blur_stack, xy_i, lvl,
-                                      jnp.asarray(hws_np), ang)
+    raw_patches, blur_patches, cy, cx, sy, sx = _extract_patches_pair(
+        stack, blur_stack, xy_i, lvl)
+    ang = _ic_angles_patch(raw_patches, cy, cx)
+    desc = _brief_descriptors_patch(blur_patches, cy, cx, sy, sx,
+                                    jnp.asarray(hws_np), ang)
     xy = xy_i.astype(jnp.float32) * jnp.asarray(scales_np)[:, None]
     level = lvl
 

@@ -302,8 +302,23 @@ def pose_optimization(q0, t0, cam_params, kind: int, pts, uv, w, valid,
     iterations per round (the reference budgets 10 for g2o, which
     early-terminates; convergence here is complete by ~4 — verified to
     give identical poses on the solver tests).
+
+    On TPU with a PINHOLE camera the whole optimization runs as one fused
+    Pallas kernel (ops/pallas_pose.py) — the XLA path below is the
+    reference implementation and the fallback for KB8 / CPU.
     """
     delta2 = CHI2_MONO
+
+    if kind == cam_mod.PINHOLE and pts.ndim == 2 and (
+            jax.default_backend() not in ("cpu",)):
+        from mam3slam_tpu.ops import pallas_pose
+
+        R0 = lie.quat_to_matrix(q0)
+        R, t, inlier, n = pallas_pose.pose_optimization_pinhole(
+            R0, t0, cam_params[:4], pts, uv, w, valid,
+            rounds=rounds, iters=iters)
+        return PoseOptResult(q=lie.quat_from_matrix(R), t=t,
+                             inlier=inlier, n_inliers=n)
 
     def linearize(q, t):
         Xc = lie.quat_rotate(q[None, :], pts) + t[None, :]
