@@ -73,16 +73,25 @@ class ServerConfig:
     pgo_min_covis_weight: int = 100
     vocab_k: int = 10
     vocab_depth: int = 3
+    # run the conditional post-loop/post-merge global BA as a background
+    # device program (reference GBA thread, LoopClosing.cc:3579) instead
+    # of a synchronous epoch; reconciled with spanning-tree catch-up when
+    # it completes (slam/background_gba.py)
+    async_gba: bool = False
+    max_kf_for_gba: int = 200
 
 
 class LoopServer:
     """Consumes (agent, kf) events; owns BoW database + hypothesis state."""
 
     def __init__(self, system, cfg: ServerConfig = None,
-                 vocab: bow.Vocabulary = None, seed: int = 0):
+                 vocab: bow.Vocabulary = None, seed: int = 0,
+                 gba_device=None):
         self.sys = system
         self.cfg = cfg or ServerConfig()
         self.voc = vocab
+        self.gba = None           # BackgroundGBA, lazily created
+        self.gba_device = gba_device
         self.hyp: Dict[int, Hypothesis] = {}
         self.key = jax.random.PRNGKey(seed + 1234)
         K = system.cfg.max_kf
@@ -137,6 +146,11 @@ class LoopServer:
 
     def _process_keyframe(self, agent_id: int, kf: int):
         self.ensure_vocab()
+        # harvest a completed background GBA between epochs (reference
+        # polls mbFinishedGBA in LoopClosing::Run)
+        if self.gba is not None and self.gba.running and self.gba.ready:
+            if self.gba.finish():
+                self.events.append("GBA applied")
         self._index_keyframe(kf)
         ms = self.sys.ms
         kf_map = int(ms.kf_map[kf])
@@ -344,8 +358,32 @@ class LoopServer:
         return n >= self.cfg.n_proj_opt_matches
 
     # ------------------------------------------------------------------
+    def _run_gba(self, map_id: int):
+        """Conditional full-map BA: synchronous epoch by default, or a
+        background device program when cfg.async_gba."""
+        if self.cfg.async_gba:
+            if self.gba is None:
+                from mam3slam_tpu.slam.background_gba import BackgroundGBA
+                self.gba = BackgroundGBA(self.sys, device=self.gba_device)
+            if not self.gba.running:
+                self.gba.start(map_id)
+        else:
+            self.sys.ms = self.sys.fns["global_ba"](
+                self.sys.ms, jnp.asarray(map_id))
+
+    def flush_gba(self):
+        """Block on and apply any pending background GBA (shutdown path)."""
+        if self.gba is not None and self.gba.running:
+            if self.gba.finish():
+                self.events.append("GBA applied")
+
     def _trigger(self, agent_id: int, kf: int, h: Hypothesis):
         del self.hyp[agent_id]
+        # a new loop/merge invalidates any in-flight GBA (reference aborts
+        # via mbStopGBA, LoopClosing.cc:2300-2313)
+        if self.gba is not None and self.gba.running:
+            self.gba.abort()
+            self.events.append("GBA aborted")
         if h.is_merge or int(self.sys.ms.kf_map[kf]) != int(
                 self.sys.ms.kf_map[h.target_kf]):
             self.merge_maps(agent_id, kf, h)
@@ -425,10 +463,11 @@ class LoopServer:
         local_mask = sysm.fns["local_mp_mask"](ms, jnp.asarray(kf), 16)
         ms, _ = sysm.fns["fuse_step"](ms, jnp.asarray(kf), local_mask)
         ms = sysm.fns["refresh_stats"](ms, ms.mp_valid)
-        # conditional global BA (reference :1766-1775: map < 200 KFs)
-        if int(np.asarray(in_map).sum()) < 200:
-            ms = sysm.fns["global_ba"](ms, jnp.asarray(kf_map))
         sysm.ms = ms
+        # conditional global BA (reference :1766-1775: map < 200 KFs)
+        if int(np.asarray(in_map).sum()) < self.cfg.max_kf_for_gba:
+            self._run_gba(kf_map)
+        ms = sysm.ms
         self.events.append(
             f"LOOP agent={agent_id} kf={kf} target={h.target_kf} "
             f"map={kf_map}")
@@ -597,8 +636,8 @@ class LoopServer:
         # consistency; the welding LBA alone only fixes the seam window.
         n_in_tgt = int((np.asarray(sysm.ms.kf_valid)
                         & (np.asarray(sysm.ms.kf_map) == tgt_map)).sum())
-        if n_in_tgt < 200:
-            sysm.ms = sysm.fns["global_ba"](sysm.ms, jnp.asarray(tgt_map))
+        if n_in_tgt < self.cfg.max_kf_for_gba:
+            self._run_gba(tgt_map)
         self.events.append(
             f"MERGE agent={agent_id} map {cur_map} -> {tgt_map} "
             f"kf={kf} target={h.target_kf} "
