@@ -337,9 +337,23 @@ class AgentState:
 
 
 class SlamSystem:
-    """Single-host system: shared MapState + N agents (MultiAgentSystem)."""
+    """Single-host system: shared MapState + N agents (MultiAgentSystem).
 
-    def __init__(self, cfg: SlamConfig, cam: cam_mod.Camera, seed: int = 0):
+    ``async_mapping=True`` decouples the tracking front end from the
+    mapping/server back end the way the reference's per-agent
+    LocalMapping threads do (SURVEY §2.6: KF queues + mMutexLocalMap):
+    a single worker thread drains a bounded job queue and is the only
+    *structural* writer of ``self.ms``; tracking reads one immutable
+    snapshot per frame (functional state makes this free) and inserts
+    keyframes only when the worker is idle — a busy worker refuses the
+    insertion, incrementing the agent's refused-insertions counter
+    (the reference's ``SetAcceptKeyFrames(false)`` /
+    ``mnKFinsertionsRefusedSinceLast`` back-pressure,
+    src/LocalMapping.cc:995-1013).
+    """
+
+    def __init__(self, cfg: SlamConfig, cam: cam_mod.Camera, seed: int = 0,
+                 async_mapping: bool = False):
         self.cfg = cfg
         self.ms = S.init_map_state(cfg.map_config())
         self.cam = cam
@@ -355,6 +369,64 @@ class SlamSystem:
         # KFs resolve through live ancestors (reference Agent::
         # SaveTrajectory walks mTcp up the tree, src/Agent.cc:228-341)
         self.culled_kf = {}
+        # epoch counter bumped on every structural map mutation (KF/MP
+        # add/remove/correction); tracking validates its snapshot against
+        # it before wiring new-KF observations
+        self.ms_epoch = 0
+        self.async_mapping = async_mapping
+        self._worker_error = None
+        if async_mapping:
+            import queue as _queue
+            import threading as _threading
+            self._ms_lock = _threading.Lock()
+            self._jobs = _queue.Queue(maxsize=8)
+            self._worker = _threading.Thread(
+                target=self._mapping_worker, daemon=True)
+            self._worker.start()
+
+    # ------------------------------------------------------------------
+    def _mapping_worker(self):
+        """Back-end thread: applies tracking stats deltas and runs the
+        mapping pipeline + centralized server per queued keyframe."""
+        while True:
+            job = self._jobs.get()
+            if job is None:
+                self._jobs.task_done()
+                return
+            try:
+                with self._ms_lock:
+                    if job[0] == "stats":
+                        self.ms = self.fns["update_found_visible"](
+                            self.ms, *job[1])
+                    else:  # ("mapping", agent_id, kf)
+                        _, aid, kf = job
+                        a = self.agents[aid]
+                        self._local_mapping(a, kf)
+                        self.ms_epoch += 1
+                        if self.server is not None:
+                            self.server.process_keyframe(aid, kf)
+                            self.ms_epoch += 1
+            except Exception as e:  # surfaced by flush()
+                self._worker_error = e
+            finally:
+                self._jobs.task_done()
+
+    def flush(self):
+        """Drain the mapping queue (and any pending background GBA);
+        re-raises worker exceptions.  No-op for synchronous systems."""
+        if self.async_mapping:
+            self._jobs.join()
+        if self.server is not None:
+            self.server.flush_gba()
+        if self._worker_error is not None:
+            err, self._worker_error = self._worker_error, None
+            raise err
+
+    def shutdown(self):
+        self.flush()
+        if self.async_mapping:
+            self._jobs.put(None)
+            self._worker.join(timeout=30)
 
     def add_agent(self, cam: Optional[cam_mod.Camera] = None) -> int:
         """Register an agent; `cam` allows per-agent intrinsics (same
@@ -374,6 +446,9 @@ class SlamSystem:
         """
         import time
         t0 = time.perf_counter()
+        if self._worker_error is not None:
+            err, self._worker_error = self._worker_error, None
+            raise err
         a = self.agents[agent_id]
         if a.state in (NO_IMAGES_YET, NOT_INITIALIZED):
             self._monocular_initialization(a, frame, ts)
@@ -409,18 +484,24 @@ class SlamSystem:
             return
         q2 = lie.quat_from_matrix(rec.R21)
         t2 = rec.t21
-        ms, kf1, kf2 = self.fns["create_initial_map"](
-            self.ms, a.init_frame, frame, q2, t2,
-            jnp.arange(cfg.n_feat, dtype=jnp.int32),
-            jnp.clip(res.idx, 0), rec.is_triangulated & res.ok,
-            rec.points3d, a.cam.params, a.map_id, a.agent_id,
-            jnp.asarray(getattr(a, 'init_ts', ts), jnp.float32),
-            jnp.asarray(ts, jnp.float32))
-        ms, ok = self.fns["initial_gba_and_rescale"](
-            ms, kf1, jnp.asarray(a.map_id))
-        if not bool(ok):
-            return
-        self.ms = ms
+        # structural RMW: serialize against the mapping worker (async)
+        import contextlib
+        lock = (self._ms_lock if self.async_mapping
+                else contextlib.nullcontext())
+        with lock:
+            ms, kf1, kf2 = self.fns["create_initial_map"](
+                self.ms, a.init_frame, frame, q2, t2,
+                jnp.arange(cfg.n_feat, dtype=jnp.int32),
+                jnp.clip(res.idx, 0), rec.is_triangulated & res.ok,
+                rec.points3d, a.cam.params, a.map_id, a.agent_id,
+                jnp.asarray(getattr(a, 'init_ts', ts), jnp.float32),
+                jnp.asarray(ts, jnp.float32))
+            ms, ok = self.fns["initial_gba_and_rescale"](
+                ms, kf1, jnp.asarray(a.map_id))
+            if not bool(ok):
+                return
+            self.ms = ms
+            self.ms_epoch += 1
         a.state = OK
         a.ref_kf = int(kf2)
         a.q = self.ms.kf_q[a.ref_kf]
@@ -437,6 +518,10 @@ class SlamSystem:
     # ------------------------------------------------------------------
     def _track_frame(self, a: AgentState, frame, ts):
         cfg = self.cfg
+        # one immutable snapshot per frame: concurrent mapping/server
+        # publications (async mode) never shear mid-frame
+        ms = self.ms
+        snap_epoch = self.ms_epoch
         # constant velocity prediction
         if a.vel_q is not None:
             q_pred = lie.quat_normalize(lie.quat_mul(a.vel_q, a.q))
@@ -445,13 +530,13 @@ class SlamSystem:
             q_pred, t_pred = a.q, a.t
 
         local_mask = self.fns["local_mp_mask"](
-            self.ms, jnp.asarray(a.ref_kf), 32)
+            ms, jnp.asarray(a.ref_kf), 32)
 
         # --- motion-model / coarse stage: wider radius, matched points only
         # coarse radius ~15 px for mono motion-model search (reference
         # SearchByProjection th=15, src/Tracking.cc TrackWithMotionModel)
         feat_mp, n_m, q, t, inlier, n_in, visible = self.fns[
-            "match_and_pose"](self.ms, frame, q_pred, t_pred,
+            "match_and_pose"](ms, frame, q_pred, t_pred,
                               a.cam.params, local_mask,
                               jnp.asarray(6.0), M.TH_HIGH, jnp.asarray(0.9))
         n_in_i = int(n_in)
@@ -459,7 +544,7 @@ class SlamSystem:
             # widen 2x (reference widens 2x then falls back to BoW
             # reference-KF tracking)
             feat_mp, n_m, q, t, inlier, n_in, visible = self.fns[
-                "match_and_pose"](self.ms, frame, q_pred, t_pred,
+                "match_and_pose"](ms, frame, q_pred, t_pred,
                                   a.cam.params, local_mask,
                                   jnp.asarray(12.0), M.TH_HIGH,
                                   jnp.asarray(0.9))
@@ -467,7 +552,7 @@ class SlamSystem:
 
         # --- track local map: refine with tighter radius from refined pose
         feat_mp2, n_m2, q2, t2, inlier2, n_in2, visible2 = self.fns[
-            "match_and_pose"](self.ms, frame, q, t, a.cam.params,
+            "match_and_pose"](ms, frame, q, t, a.cam.params,
                               local_mask, jnp.asarray(1.0), M.TH_HIGH,
                               jnp.asarray(0.8))
         n_in2_i = int(n_in2)
@@ -475,8 +560,16 @@ class SlamSystem:
             feat_mp, q, t, inlier, n_in_i = feat_mp2, q2, t2, inlier2, n_in2_i
             visible = visible2
 
-        self.ms = self.fns["update_found_visible"](self.ms, feat_mp, inlier,
-                                                   visible)
+        if self.async_mapping:
+            # found/visible counters are additive heuristics; apply them
+            # serialized through the worker (single-writer discipline)
+            try:
+                self._jobs.put_nowait(("stats", (feat_mp, inlier, visible)))
+            except Exception:
+                pass  # queue full: drop the delta (pure heuristic)
+        else:
+            self.ms = self.fns["update_found_visible"](self.ms, feat_mp,
+                                                       inlier, visible)
 
         threshold = (cfg.min_track_inliers if a.state == OK
                      else cfg.min_track_inliers_lost)
@@ -515,7 +608,8 @@ class SlamSystem:
         a.frames_since_kf += 1
 
         if self._need_new_keyframe(a, n_in_i):
-            self._create_keyframe(a, frame, feat_mp, inlier, ts)
+            self._create_keyframe(a, frame, feat_mp, inlier, ts,
+                                  snap_epoch=snap_epoch)
 
     # ------------------------------------------------------------------
     def _relocalize(self, a: AgentState, frame) -> bool:
@@ -608,9 +702,41 @@ class SlamSystem:
               and n_in < cfg.kf_ref_ratio * ref)
         return (c1 or c2) and n_in > 15
 
-    def _create_keyframe(self, a: AgentState, frame, feat_mp, inlier, ts):
+    def _create_keyframe(self, a: AgentState, frame, feat_mp, inlier, ts,
+                         snap_epoch=None):
         cfg = self.cfg
         feat_mp_in = jnp.where(inlier, feat_mp, S.NO_MP)
+
+        if self.async_mapping:
+            # insert only when the back end is idle AND the frame's map
+            # snapshot is still structurally current (feat_mp indexes MP
+            # slots of that snapshot); otherwise refuse — the reference's
+            # SetAcceptKeyFrames(false) back-pressure, counted per agent
+            # (mnKFinsertionsRefusedSinceLast)
+            if self._jobs.full() or not self._ms_lock.acquire(
+                    blocking=False):
+                a.kf_insertions_refused += 1
+                return
+            try:
+                if (snap_epoch is not None
+                        and snap_epoch != self.ms_epoch):
+                    a.kf_insertions_refused += 1
+                    return
+                ms, kf = self.fns["add_kf_step"](
+                    self.ms, frame, a.q, a.t, feat_mp_in, a.agent_id,
+                    a.map_id, ts, a.next_agent_kf_id, a.cam.params)
+                kf = int(kf)
+                self.ms = ms
+            finally:
+                self._ms_lock.release()
+            a.next_agent_kf_id += 1
+            a.frames_since_kf = 0
+            a.kf_insertions_refused = 0
+            a.ref_kf = kf
+            a.ref_kf_tracked = int((np.asarray(feat_mp_in) >= 0).sum())
+            self._jobs.put(("mapping", a.agent_id, kf))
+            return
+
         ms, kf = self.fns["add_kf_step"](
             self.ms, frame, a.q, a.t, feat_mp_in, a.agent_id, a.map_id, ts,
             a.next_agent_kf_id, a.cam.params)
