@@ -72,18 +72,34 @@ def main():
     q0 = lie.quat_identity()
     t0 = jnp.zeros(3)
 
+    # Chain CHUNK sequential frames per dispatch (each frame's pose seeds
+    # the next, like real tracking) so the measurement amortizes the
+    # per-dispatch host->device launch overhead (~1 ms through the
+    # tunneled backend) and reflects device throughput.
+    CHUNK = 10
+    img_chunk = jnp.stack([imgs[i % 4] for i in range(CHUNK)])
+
+    @jax.jit
+    def chunk_step(ms, img_chunk, q0, t0):
+        def body(carry, img):
+            q, t = carry
+            q, t, n_in = frame_step(ms, img, q, t)
+            return (q, t), n_in
+        (q, t), n_ins = jax.lax.scan(body, (q0, t0), img_chunk)
+        return q, t, jnp.sum(n_ins)
+
     # warmup/compile — force a VALUE fetch: on the tunneled axon backend
     # block_until_ready is a no-op, only a D2H read truly synchronizes
-    q, t, n_in = frame_step(ms, imgs[0], q0, t0)
+    q, t, n_in = chunk_step(ms, img_chunk, q0, t0)
     _ = float(jnp.sum(t))
 
-    n_iter = 60
+    n_iter = 6
     start = time.perf_counter()
-    for i in range(n_iter):
-        q, t, n_in = frame_step(ms, imgs[i % 4], q0, t0)
+    for _ in range(n_iter):
+        q, t, n_in = chunk_step(ms, img_chunk, q0, t0)
     _ = float(jnp.sum(t)) + float(n_in)  # sync on the last result
     dt = time.perf_counter() - start
-    fps = n_iter / dt
+    fps = n_iter * CHUNK / dt
 
     print(json.dumps({
         "metric": "tracking_frontend_fps",

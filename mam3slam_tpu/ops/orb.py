@@ -139,6 +139,66 @@ def compute_pyramid(img: jnp.ndarray, cfg: OrbConfig):
     return tuple(levels)
 
 
+def _tent_matrix(m: int, n: int) -> np.ndarray:
+    """[m, n] anti-aliased linear-resize weights (jax.image.resize
+    "bilinear" semantics: tent kernel of radius n/m, edge-renormalized)."""
+    if m == n:
+        return np.eye(n, dtype=np.float32)
+    s = n / m
+    i = np.arange(m, dtype=np.float64)[:, None]
+    j = np.arange(n, dtype=np.float64)[None, :]
+    c = (i + 0.5) * s - 0.5
+    w = np.maximum(0.0, 1.0 - np.abs(j - c) / s)
+    w /= w.sum(axis=1, keepdims=True)
+    return w.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _pyramid_weights(cfg: OrbConfig):
+    """Per-level separable resize weights, stacked and padded to the
+    level-0 extent, with each level's 3-row/col reflect-101 border folded
+    into the weight rows (so the matmul emits the _rpad layout directly).
+
+    Returns (A2 [L*Hp, H] f32, B [L, Wp, W] f32):
+    stack = (A2 @ img).reshape(L, Hp, W) einsum-contracted with B.
+    """
+    L = cfg.n_levels
+    Hp, Wp = cfg.level_sizes[0]
+    A = np.zeros((L, Hp, Hp), np.float32)
+    B = np.zeros((L, Wp, Wp), np.float32)
+    for lv in range(L):
+        h, w = cfg.level_sizes[lv]
+        A[lv, :h, :] = _tent_matrix(h, Hp)
+        B[lv, :w, :] = _tent_matrix(w, Wp)
+        for d in range(1, min(3, Hp - h) + 1):
+            A[lv, h - 1 + d] = A[lv, h - 1 - d]
+        for d in range(1, min(3, Wp - w) + 1):
+            B[lv, w - 1 + d] = B[lv, w - 1 - d]
+    return A.reshape(L * Hp, Hp), B
+
+
+def pyramid_stack_matmul(img: jnp.ndarray, cfg: OrbConfig) -> jnp.ndarray:
+    """All pyramid levels as two MXU matmuls: [L, Hp, Wp] padded stack
+    with reflect-101 borders, each level resized DIRECTLY from level 0
+    with an anti-aliased tent kernel (total scale 1.2^lv).
+
+    Replaces the serial 8-resize cascade (reference ComputePyramid,
+    ORBextractor.cc:1170) on TPU: one [L*Hp, H]x[H, W] matmul plus one
+    L-batched [Hp, W]x[W, Wp] matmul instead of n_levels dependent
+    resizes.  Numerics differ from the cascade (single tent vs composed
+    tents — slightly sharper at high levels); quality is bounded by
+    tests/test_orb.py::test_matmul_pyramid_close_to_cascade.
+    """
+    A2, B = _pyramid_weights(cfg)
+    L = cfg.n_levels
+    Hp, Wp = cfg.level_sizes[0]
+    t = jnp.matmul(jnp.asarray(A2), img,
+                   preferred_element_type=jnp.float32)
+    t = t.reshape(L, Hp, img.shape[1])
+    return jnp.einsum("lpw,lqw->lpq", t, jnp.asarray(B),
+                      preferred_element_type=jnp.float32)
+
+
 def _gaussian_kernel_1d(ksize: int = 7, sigma: float = 2.0) -> np.ndarray:
     r = ksize // 2
     x = np.arange(-r, r + 1, dtype=np.float64)
@@ -345,16 +405,22 @@ def _select_keypoints_stacked(score: jnp.ndarray, cfg: OrbConfig):
     k = min(cfg.per_cell, cell * cell)
     # per-cell top-k via k iterative (max, argmax, mask) rounds: for tiny k
     # this is pure VPU reduction work, ~5x cheaper than lax.top_k's
-    # sort-based lowering over the [L, ncells, cell*cell] volume
+    # sort-based lowering over the [L, ncells, cell*cell] volume.
+    # On TPU the rounds run in bf16 (the passes are HBM-bandwidth-bound;
+    # bf16 halves the traffic).  bf16 rounding only coarsens the ranking
+    # of near-equal corner scores — which of two ~equal corners wins a
+    # cell slot is already arbitrary.
     vs, is_ = [], []
-    b = buckets
+    bdt = (jnp.bfloat16 if jax.default_backend() not in ("cpu",)
+           else buckets.dtype)
+    b = buckets.astype(bdt)
     lane = jnp.arange(cell * cell, dtype=jnp.int32)[None, None, :]
     for r in range(k):
         i = jnp.argmax(b, axis=-1).astype(jnp.int32)
-        vs.append(jnp.max(b, axis=-1))
+        vs.append(jnp.max(b, axis=-1).astype(jnp.float32))
         is_.append(i)
         if r + 1 < k:
-            b = jnp.where(lane == i[..., None], -jnp.inf, b)
+            b = jnp.where(lane == i[..., None], jnp.asarray(-jnp.inf, bdt), b)
     top_v = jnp.stack(vs, axis=-1)   # [L, ncells, k]
     top_i = jnp.stack(is_, axis=-1)
 
@@ -737,18 +803,33 @@ def extract_orb(img: jnp.ndarray, cfg: OrbConfig) -> Features:
     keypoint coords rescaled to level 0.  jit-able; wrap with vmap for the
     multi-agent batched front end.
     """
-    pyr = compute_pyramid(img, cfg)
     L = cfg.n_levels
     Hp, Wp = cfg.level_sizes[0]
     elig_np, lvl_np, scales_np, hws_np = _stack_constants(cfg)
 
-    # zero-pad every level to the level-0 extent and stack: all per-level
-    # work (FAST, NMS, blur, moment prefix sums, gathers) becomes one
-    # batched op each instead of n_levels small dispatches
-    stack = jnp.stack(
-        [jnp.pad(pyr[lv], ((0, Hp - cfg.level_sizes[lv][0]),
-                           (0, Wp - cfg.level_sizes[lv][1])))
-         for lv in range(L)])
+    # Pad every level to the level-0 extent and stack: all per-level work
+    # (FAST, NMS, blur, moments, gathers) becomes one batched op each
+    # instead of n_levels small dispatches.  The first 3 padded rows/cols
+    # hold each level's reflect-101 border so ONE blur over the whole
+    # stack is exact in every level's interior: a level's top/left edges
+    # coincide with the stack's (where gaussian_blur's own reflect pad
+    # applies), and its bottom/right blur windows read the materialized
+    # reflected rows.  Consumers never read blurred values outside a
+    # level's true extent (taps clamp to h-1/w-1; selection is gated by
+    # the eligibility mask), so the remaining zero padding is inert.
+    def _rpad(x, lv):
+        h, w = cfg.level_sizes[lv]
+        ry, rx = min(3, Hp - h), min(3, Wp - w)
+        x = jnp.pad(x, ((0, ry), (0, rx)), mode="reflect")
+        return jnp.pad(x, ((0, Hp - h - ry), (0, Wp - w - rx)))
+
+    if (jax.default_backend() not in ("cpu",)
+            and not os.environ.get("MAM3_DISABLE_MM_PYRAMID")):
+        # two MXU matmuls instead of a serial resize cascade
+        stack = pyramid_stack_matmul(img, cfg)
+    else:
+        pyr = compute_pyramid(img, cfg)
+        stack = jnp.stack([_rpad(pyr[lv], lv) for lv in range(L)])
 
     score = fast_score_map(stack)
     xy_i, resp, valid = _select_keypoints_stacked(score, cfg)
@@ -756,19 +837,48 @@ def extract_orb(img: jnp.ndarray, cfg: OrbConfig) -> Features:
     lvl = jnp.asarray(lvl_np)
     # Round the blurred image to the integer grid: camera images are
     # uint8, and rounding makes descriptors bit-exact with OpenCV ORB
-    # (ties in pattern-pair comparisons resolve identically).  Blur runs
-    # per level (not on the stack) so reflect borders see the true level
-    # edges, then the blurred levels restack for one patch extraction.
-    blur_stack = jnp.stack(
-        [jnp.pad(jnp.round(gaussian_blur(pyr[lv])),
-                 ((0, Hp - cfg.level_sizes[lv][0]),
-                  (0, Wp - cfg.level_sizes[lv][1])))
-         for lv in range(L)])
-    raw_patches, blur_patches, cy, cx, sy, sx = _extract_patches_pair(
-        stack, blur_stack, xy_i, lvl)
-    ang = _ic_angles_patch(raw_patches, cy, cx)
-    desc = _brief_descriptors_patch(blur_patches, cy, cx, sy, sx,
-                                    jnp.asarray(hws_np), ang)
+    # (ties in pattern-pair comparisons resolve identically).
+    blur_stack = jnp.round(gaussian_blur(stack))
+    N = xy_i.shape[0]
+    # fused Pallas path (TPU): DMA-pipelined patch fetch + IC + BRIEF in
+    # one kernel (ops/pallas_orb_desc.py); the XLA path below is the
+    # CPU/parity reference.  Mosaic needs tile-aligned dynamic DMA
+    # origins (8 rows / 128 lanes), so the stacks are zero-padded to
+    # aligned extents here (XLA fuses the pad into the stack producers).
+    if (jax.default_backend() not in ("cpu",) and Hp >= 48
+            and not os.environ.get("MAM3_DISABLE_FUSED_DESC")):
+        from mam3slam_tpu.ops import pallas_orb_desc as POD
+
+        Hp2 = -(-Hp // 8) * 8
+        Wp2 = max(-(-Wp // 128) * 128, 256)
+        stk = jnp.pad(stack, ((0, 0), (0, Hp2 - Hp), (0, Wp2 - Wp)))
+        blr = jnp.pad(blur_stack, ((0, 0), (0, Hp2 - Hp), (0, Wp2 - Wp)))
+        pad = (-N) % POD.CHUNK
+        xk = jnp.pad(xy_i[:, 0], (0, pad))
+        yk = jnp.pad(xy_i[:, 1], (0, pad))
+        lv = jnp.pad(lvl, (0, pad))
+        y0, wsx = POD.window_origins(yk, xk, Hp2, Wp2)
+        hw = jnp.asarray(hws_np)[lv]
+        z = jnp.zeros_like(xk)
+        meta = jnp.stack([yk, xk, y0, wsx, hw[:, 0], hw[:, 1], z, z],
+                         axis=-1).astype(jnp.int32)
+        dma_s = jnp.stack([(lv * Hp2 + y0) // 8, wsx // 128],
+                          axis=0).astype(jnp.int32)
+        patf = jnp.asarray(_PATTERN, jnp.float32)
+        pat4 = jnp.zeros((4, 512), jnp.float32)
+        pat4 = pat4.at[0].set(jnp.concatenate([patf[:, 0], patf[:, 2]]))
+        pat4 = pat4.at[1].set(jnp.concatenate([patf[:, 1], patf[:, 3]]))
+        ang, bits = POD.ic_brief_fused(
+            stk.reshape(L * Hp2, Wp2), blr.reshape(L * Hp2, Wp2),
+            dma_s, meta, pat4)
+        ang = ang[:N]
+        desc = pack_bits_256(bits[:N] > 0.5)
+    else:
+        raw_patches, blur_patches, cy, cx, sy, sx = _extract_patches_pair(
+            stack, blur_stack, xy_i, lvl)
+        ang = _ic_angles_patch(raw_patches, cy, cx)
+        desc = _brief_descriptors_patch(blur_patches, cy, cx, sy, sx,
+                                        jnp.asarray(hws_np), ang)
     xy = xy_i.astype(jnp.float32) * jnp.asarray(scales_np)[:, None]
     level = lvl
 

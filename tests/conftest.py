@@ -20,6 +20,8 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compile cache: the suite re-traces many large programs
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NO persistent compile cache: XLA:CPU AOT serialization targets the
+# *compile* machine's feature set; loading such an executable on a host
+# with a narrower ISA (feature-mismatch warning at startup) segfaults in
+# get_executable_and_time.  In-memory jit caching is unaffected; the
+# suite just re-traces per process.

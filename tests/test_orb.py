@@ -133,3 +133,42 @@ def test_extract_jits_and_is_deterministic():
     b = f(jnp.asarray(img))
     np.testing.assert_array_equal(np.asarray(a.desc), np.asarray(b.desc))
     np.testing.assert_array_equal(np.asarray(a.xy), np.asarray(b.xy))
+
+
+def test_matmul_pyramid_close_to_cascade():
+    """The TPU matmul pyramid (direct anti-aliased resize from level 0)
+    must stay close to the CPU resize cascade: small mean intensity
+    error and substantially overlapping FAST keypoint selections."""
+    import numpy as np
+    rng = np.random.default_rng(3)
+    H, W = 240, 320
+    base = rng.uniform(0, 255, (H, W)).astype(np.float32)
+    # smooth the noise a little so corners are not pixel-level noise
+    img = jnp.asarray(np.asarray(orb.gaussian_blur(jnp.asarray(base))))
+    cfg = orb.OrbConfig(height=H, width=W, n_features=400, n_levels=4)
+
+    mm = orb.pyramid_stack_matmul(img, cfg)
+    pyr = orb.compute_pyramid(img, cfg)
+    for lv in range(cfg.n_levels):
+        h, w = cfg.level_sizes[lv]
+        a = np.asarray(mm[lv, :h, :w])
+        b = np.asarray(pyr[lv])
+        mad = np.abs(a - b).mean()
+        assert mad < 3.0, (lv, mad)
+
+    # FAST keypoints from both stacks mostly agree
+    Hp, Wp = cfg.level_sizes[0]
+
+    def rpad(x, lv):
+        h, w = cfg.level_sizes[lv]
+        ry, rx = min(3, Hp - h), min(3, Wp - w)
+        x = jnp.pad(x, ((0, ry), (0, rx)), mode="reflect")
+        return jnp.pad(x, ((0, Hp - h - ry), (0, Wp - w - rx)))
+
+    casc = jnp.stack([rpad(pyr[lv], lv) for lv in range(cfg.n_levels)])
+    kp_m, _, v_m = orb._select_keypoints_stacked(orb.fast_score_map(mm), cfg)
+    kp_c, _, v_c = orb._select_keypoints_stacked(orb.fast_score_map(casc), cfg)
+    sm = {tuple(r) for r in np.asarray(kp_m)[np.asarray(v_m)]}
+    sc = {tuple(r) for r in np.asarray(kp_c)[np.asarray(v_c)]}
+    inter = len(sm & sc)
+    assert inter / max(1, min(len(sm), len(sc))) > 0.6, (len(sm), len(sc), inter)
