@@ -76,7 +76,7 @@ def main():
     # the next, like real tracking) so the measurement amortizes the
     # per-dispatch host->device launch overhead (~1 ms through the
     # tunneled backend) and reflects device throughput.
-    CHUNK = 10
+    CHUNK = 40
     img_chunk = jnp.stack([imgs[i % 4] for i in range(CHUNK)])
 
     @jax.jit
