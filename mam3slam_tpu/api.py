@@ -36,12 +36,14 @@ class MultiAgentSystem:
     def __init__(self, vocabulary: Optional[bow_mod.Vocabulary] = None,
                  active_loop_closing: bool = True,
                  server_config: Optional[ServerConfig] = None,
-                 slam_config: Optional[SlamConfig] = None, seed: int = 0):
+                 slam_config: Optional[SlamConfig] = None, seed: int = 0,
+                 async_mapping: bool = False):
         self._vocab = vocabulary
         self._active_lc = active_loop_closing
         self._server_cfg = server_config or ServerConfig()
         self._slam_cfg = slam_config
         self._seed = seed
+        self._async_mapping = async_mapping
         self.sys: Optional[SlamSystem] = None
         self.server: Optional[LoopServer] = None
         self._settings: List[settings_mod.Settings] = []
@@ -53,29 +55,31 @@ class MultiAgentSystem:
         import jax
 
         st = settings_mod.load_settings(settings_yaml)
+        W, H = st.eff_width, st.eff_height  # after Camera.newWidth resize
         if self.sys is None:
             cfg = self._slam_cfg or SlamConfig(
-                width=st.width, height=st.height,
+                width=W, height=H,
                 cam_kind=st.camera().kind,
                 n_levels=st.n_levels, scale_factor=st.scale_factor,
                 n_feat=orb_mod.OrbConfig(
-                    height=st.height, width=st.width,
+                    height=H, width=W,
                     n_features=st.n_features, n_levels=st.n_levels,
                     scale_factor=st.scale_factor).capacity)
-            self.sys = SlamSystem(cfg, st.camera(), seed=self._seed)
+            self.sys = SlamSystem(cfg, st.camera(), seed=self._seed,
+                                  async_mapping=self._async_mapping)
             if self._active_lc:
                 self.server = LoopServer(self.sys, self._server_cfg,
                                          vocab=self._vocab,
                                          seed=self._seed)
                 self.sys.server = self.server
         else:
-            if (st.width, st.height) != (self._settings[0].width,
-                                         self._settings[0].height):
+            if (W, H) != (self._settings[0].eff_width,
+                          self._settings[0].eff_height):
                 raise ValueError(
                     "all agents must share image geometry in this build")
         self._settings.append(st)
         ocfg = orb_mod.OrbConfig(
-            height=st.height, width=st.width, n_features=st.n_features,
+            height=H, width=W, n_features=st.n_features,
             n_levels=st.n_levels, scale_factor=st.scale_factor,
             ini_th=st.ini_th_fast, min_th=st.min_th_fast)
         self._orb_cfgs.append(ocfg)
@@ -95,7 +99,15 @@ class MultiAgentSystem:
         """Grayscale image [H, W] (uint8 or f32 0..255) -> (state, pose)."""
         import jax.numpy as jnp
 
-        img = jnp.asarray(np.asarray(image, np.float32))
+        img_np = np.asarray(image, np.float32)
+        st = self._settings[agent_id]
+        if img_np.shape != (st.eff_height, st.eff_width):
+            # settings-requested resize (reference Agent::TrackMonocular
+            # cv::resize, src/Agent.cc:135-140)
+            import cv2
+            img_np = cv2.resize(img_np, (st.eff_width, st.eff_height),
+                                interpolation=cv2.INTER_AREA)
+        img = jnp.asarray(img_np)
         feats = self._extract_fns[agent_id](img)
         frame = steps.FrameObs(uv=feats.uv, level=feats.level,
                                angle=feats.angle, desc=feats.desc,
@@ -112,6 +124,11 @@ class MultiAgentSystem:
 
     # -- reference: Shutdown + Save* ---------------------------------------
     def shutdown(self, out_dir: Optional[str] = None):
+        """Drain the mapping queue + background GBA, join the worker
+        thread (reference MultiAgentSystem::Shutdown joins all agent
+        threads, src/MultiAgentSystem.cc:79-89), then export artifacts."""
+        if self.sys is not None:
+            self.sys.shutdown()
         if out_dir:
             writers.save_all(self.sys, self.server, out_dir)
 

@@ -43,12 +43,27 @@ class Settings:
     atlas_save_file: str = ""
     raw: dict = field(default_factory=dict)
 
+    @property
+    def eff_width(self) -> int:
+        """Working image width after the optional Camera.newWidth resize
+        (reference Settings stereo/resize derivation + Agent.cc:135-140)."""
+        return self.new_width or self.width
+
+    @property
+    def eff_height(self) -> int:
+        return self.new_height or self.height
+
     def camera(self) -> cameras.Camera:
+        """Camera at the WORKING resolution: focal lengths / principal
+        point scale with the resize; normalized distortion coefficients do
+        not (reference Settings.cc resize handling)."""
+        sx = self.eff_width / self.width
+        sy = self.eff_height / self.height
+        fx, fy = self.fx * sx, self.fy * sy
+        cx, cy = self.cx * sx, self.cy * sy
         if self.camera_type == "KannalaBrandt8":
-            return cameras.make_kb8(self.fx, self.fy, self.cx, self.cy,
-                                    *self.dist[:4])
-        return cameras.make_pinhole(self.fx, self.fy, self.cx, self.cy,
-                                    tuple(self.dist[:4]))
+            return cameras.make_kb8(fx, fy, cx, cy, *self.dist[:4])
+        return cameras.make_pinhole(fx, fy, cx, cy, tuple(self.dist[:4]))
 
 
 def _req(d: dict, key: str):
@@ -99,8 +114,10 @@ def load_settings(path: str) -> Settings:
         n_levels=int(d.get("ORBextractor.nLevels", 8)),
         ini_th_fast=int(d.get("ORBextractor.iniThFAST", 20)),
         min_th_fast=int(d.get("ORBextractor.minThFAST", 7)),
-        new_width=d.get("Camera.newWidth"),
-        new_height=d.get("Camera.newHeight"),
+        new_width=(int(d["Camera.newWidth"])
+                   if d.get("Camera.newWidth") else None),
+        new_height=(int(d["Camera.newHeight"])
+                    if d.get("Camera.newHeight") else None),
         atlas_load_file=d.get("System.LoadAtlasFromFile", ""),
         atlas_save_file=d.get("System.SaveAtlasToFile", ""),
         raw=d,

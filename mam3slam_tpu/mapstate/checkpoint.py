@@ -44,7 +44,7 @@ def save_atlas(system, path: str, server=None):
         srv["kf_words"] = server.kf_words
         srv["kf_word_mask"] = server.kf_word_mask
     np.savez_compressed(
-        path, next_map_id=np.asarray(system.next_map_id),
+        path,
         agent_scalars=ag_scalars, agent_has_pose=ag_has_pose,
         agent_q=ag_q, agent_t=ag_t, **arrays,
         **{f"srv_{k}": v for k, v in srv.items()})
@@ -53,10 +53,26 @@ def save_atlas(system, path: str, server=None):
 def load_atlas(system, path: str, server=None):
     """Restore MapState (+ agents, + server BoW db) in place."""
     data = np.load(path)
-    fields = {name: jnp.asarray(data[f"ms_{name}"])
-              for name in S.MapState._fields}
+    fields = {}
+    for name in S.MapState._fields:
+        if f"ms_{name}" in data:
+            fields[name] = jnp.asarray(data[f"ms_{name}"])
+        elif name == "kf_seq":
+            # pre-recycling checkpoints: slots were append-only, so the
+            # slot index IS the insertion order
+            kf_valid = data["ms_kf_valid"]
+            fields[name] = jnp.where(
+                jnp.asarray(kf_valid),
+                jnp.arange(len(kf_valid), dtype=jnp.int32), S.BIG_SEQ)
+        elif name in ("loop_i", "loop_j", "loop_valid"):
+            L = 64  # MapConfig.max_loop_edges default
+            fields[name] = (jnp.zeros((L,), bool) if name == "loop_valid"
+                            else jnp.full((L,), -1, jnp.int32))
+        else:
+            raise KeyError(f"checkpoint missing MapState field {name}")
     system.ms = S.MapState(**fields)
-    system.next_map_id = int(data["next_map_id"])
+    # map-id allocation is derived from map_valid + agent map ids — no
+    # counter to restore
 
     ag = data["agent_scalars"]
     for i in range(len(ag)):

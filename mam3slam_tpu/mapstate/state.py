@@ -15,7 +15,9 @@ Kept relations (the reference's semantics):
   (MapPoint::mObservations, capacity-capped)
 * covisibility weights  ``covis [K, K]`` i32, maintained incrementally
   (KeyFrame::UpdateConnections, weight = #shared map points)
-* spanning tree ``kf_parent`` (KeyFrame::mpParent), loop edges kept sparse
+* spanning tree ``kf_parent`` (KeyFrame::mpParent)
+* persistent loop/merge edges ``loop_i/loop_j/loop_valid``
+  (KeyFrame::mspLoopEdges, include/KeyFrame.h:244-248)
 
 All mutators are pure: they take and return a ``MapState``.  Everything is
 jit-able with static capacities.
@@ -31,6 +33,7 @@ import jax.numpy as jnp
 
 NO_MP = jnp.int32(-1)
 NO_KF = jnp.int32(-1)
+BIG_SEQ = jnp.int32(1 << 30)  # kf_seq sentinel for free slots
 
 
 @dataclass(frozen=True)
@@ -40,6 +43,7 @@ class MapConfig:
     n_feat: int = 768          # per-KF feature capacity (OrbConfig.capacity)
     max_obs: int = 16          # per-MP reverse-observation capacity
     max_maps: int = 8
+    max_loop_edges: int = 64
     n_levels: int = 8
     scale_factor: float = 1.2
 
@@ -56,6 +60,12 @@ class MapState(NamedTuple):
     kf_ts: jnp.ndarray         # [K] f32 timestamp
     kf_parent: jnp.ndarray     # [K] i32 spanning-tree parent (-1 root)
     kf_agent_kf_id: jnp.ndarray  # [K] i32 per-agent sequential id
+    kf_seq: jnp.ndarray        # [K] i32 global insertion sequence (the
+                               # n_kf counter at insert; BIG_SEQ when the
+                               # slot is free).  Slots RECYCLE after
+                               # KeyFrame culling — creation order /
+                               # identity questions must use kf_seq, never
+                               # the slot index.
     kf_cam: jnp.ndarray        # [K, 8] f32 per-KF camera intrinsics
                                # (Atlas camera registry, Atlas.h:95-96 —
                                # agents may carry different calibrations)
@@ -75,7 +85,8 @@ class MapState(NamedTuple):
     mp_min_dist: jnp.ndarray   # [P] f32 scale-invariance bounds
     mp_max_dist: jnp.ndarray   # [P] f32
     mp_ref_kf: jnp.ndarray     # [P] i32 reference keyframe
-    mp_first_kf: jnp.ndarray   # [P] i32 first-observing KF (recency culling)
+    mp_first_kf: jnp.ndarray   # [P] i32 kf_seq of the first-observing KF
+                               # (recency culling + slot-recycle identity)
     mp_found: jnp.ndarray      # [P] f32 tracking found count
     mp_visible: jnp.ndarray    # [P] f32 tracking visible count
     # --- reverse observations
@@ -84,8 +95,16 @@ class MapState(NamedTuple):
     mp_nobs: jnp.ndarray       # [P] i32
     # --- graph
     covis: jnp.ndarray         # [K, K] i32 shared-point counts (symmetric)
+    # persistent loop/merge edges (KeyFrame::mspLoopEdges/mspMergeEdges,
+    # include/KeyFrame.h:244-248): KF-slot pairs whose RELATIVE Sim3 at
+    # PGO time is a constraint in every OptimizeEssentialGraph — without
+    # them a second loop closure re-opens the first
+    loop_i: jnp.ndarray        # [L] i32 KF slot (-1 free)
+    loop_j: jnp.ndarray        # [L] i32
+    loop_valid: jnp.ndarray    # [L] bool
     # --- counters / maps
-    n_kf: jnp.ndarray          # [] i32 high-water (monotonic)
+    n_kf: jnp.ndarray          # [] i32 monotonic insertion COUNTER (not a
+                               # live count, not a slot bound — see kf_seq)
     map_valid: jnp.ndarray     # [Mmax] bool
     map_change: jnp.ndarray    # [Mmax] i32 change index (Map::mnMapChange)
 
@@ -101,6 +120,7 @@ def init_map_state(cfg: MapConfig) -> MapState:
         kf_ts=jnp.zeros((K,), jnp.float32),
         kf_parent=jnp.full((K,), NO_KF, jnp.int32),
         kf_agent_kf_id=jnp.full((K,), -1, jnp.int32),
+        kf_seq=jnp.full((K,), BIG_SEQ, jnp.int32),
         kf_cam=jnp.zeros((K, 8), jnp.float32),
         kf_feat_uv=jnp.zeros((K, F, 2), jnp.float32),
         kf_feat_level=jnp.zeros((K, F), jnp.int32),
@@ -123,6 +143,9 @@ def init_map_state(cfg: MapConfig) -> MapState:
         mp_obs_feat=jnp.full((P, M), -1, jnp.int32),
         mp_nobs=jnp.zeros((P,), jnp.int32),
         covis=jnp.zeros((K, K), jnp.int32),
+        loop_i=jnp.full((cfg.max_loop_edges,), NO_KF, jnp.int32),
+        loop_j=jnp.full((cfg.max_loop_edges,), NO_KF, jnp.int32),
+        loop_valid=jnp.zeros((cfg.max_loop_edges,), bool),
         n_kf=jnp.asarray(0, jnp.int32),
         map_valid=jnp.zeros((cfg.max_maps,), bool),
         map_change=jnp.zeros((cfg.max_maps,), jnp.int32),
@@ -134,16 +157,20 @@ def init_map_state(cfg: MapConfig) -> MapState:
 # ---------------------------------------------------------------------------
 
 def alloc_mp_slots(ms: MapState, want: jnp.ndarray):
-    """Return per-request free map-point slot indices (recycled).
+    """Return (slots, granted) for free map-point slot requests (recycled).
 
     ``want [N] bool`` marks real requests; request i gets the rank(i)-th
-    free slot (stable low-index-first).  Unreal requests also get a slot
-    index — callers must not mark those valid.
-    """
+    free slot (stable low-index-first).  ``granted`` clears requests that
+    overflow the arena — the defined full-arena behavior is DROP (callers
+    must only mark granted slots valid); SlamSystem counts the drops and
+    warns (``mp_dropped``)."""
     free_first = jnp.argsort(ms.mp_valid.astype(jnp.int32), stable=True)
     ranks = jnp.cumsum(want.astype(jnp.int32)) - 1
     P = ms.mp_valid.shape[0]
-    return free_first[jnp.clip(ranks, 0, P - 1)].astype(jnp.int32)
+    n_free = jnp.sum(~ms.mp_valid)
+    granted = want & (ranks < n_free)
+    return (free_first[jnp.clip(ranks, 0, P - 1)].astype(jnp.int32),
+            granted)
 
 
 def mp_add_observation(ms: MapState, mp: jnp.ndarray, kf: jnp.ndarray,
@@ -202,15 +229,17 @@ def best_covisible(ms: MapState, kf: jnp.ndarray, n: int,
                    min_weight: int = 1):
     """Top-n covisible KFs of `kf` (GetBestCovisibilityKeyFrames)."""
     wrow = jnp.where(ms.kf_valid, ms.covis[kf], 0)
+    n = min(n, wrow.shape[0])  # tiny arenas: window clamps to capacity
     w, idx = jax.lax.top_k(wrow, n)
     ok = w >= min_weight
     return idx.astype(jnp.int32), w, ok
 
 
 def assign_spanning_parent(ms: MapState, kf: jnp.ndarray) -> MapState:
-    """parent = strongest covisible with smaller slot id (first connection,
-    KeyFrame::UpdateConnections + mbFirstConnection semantics)."""
-    wrow = ms.covis[kf] * (jnp.arange(ms.kf_valid.shape[0]) < kf)
+    """parent = strongest covisible created EARLIER (first connection,
+    KeyFrame::UpdateConnections + mbFirstConnection semantics).  Earlier =
+    smaller kf_seq — slot indices recycle and do not order creation."""
+    wrow = ms.covis[kf] * (ms.kf_seq < ms.kf_seq[kf])
     parent = jnp.where(jnp.max(wrow) > 0, jnp.argmax(wrow), NO_KF)
     return ms._replace(kf_parent=ms.kf_parent.at[kf].set(
         parent.astype(jnp.int32)))
@@ -223,13 +252,18 @@ def assign_spanning_parent(ms: MapState, kf: jnp.ndarray) -> MapState:
 def add_keyframe(ms: MapState, q, t, agent, map_id, ts, agent_kf_id,
                  feat_uv, feat_level, feat_angle, feat_desc, feat_valid,
                  feat_mp, cam_params=None) -> tuple:
-    """Insert a keyframe at the next slot; returns (ms, kf_slot).
+    """Insert a keyframe into the first free slot; returns (ms, kf_slot).
+
+    Slots freed by KeyFrame culling are RECYCLED (lowest free slot first).
+    When the arena is full, ``argmax`` degenerates to slot 0 and would
+    silently corrupt it — callers must guard on the host with
+    ``kf_valid.sum() < max_kf`` (SlamSystem raises MapCapacityError).
 
     ``feat_mp [F]`` carries tracked map-point associations (-1 = none);
     reverse observations and covisibility are updated here (the reference
     does this in Tracking::CreateNewKeyFrame + ProcessNewKeyFrame).
     """
-    kf = ms.n_kf
+    kf = jnp.argmax(~ms.kf_valid).astype(jnp.int32)
     F = feat_uv.shape[0]
     ms = ms._replace(
         kf_q=ms.kf_q.at[kf].set(q),
@@ -239,6 +273,7 @@ def add_keyframe(ms: MapState, q, t, agent, map_id, ts, agent_kf_id,
         kf_map=ms.kf_map.at[kf].set(map_id),
         kf_ts=ms.kf_ts.at[kf].set(ts),
         kf_agent_kf_id=ms.kf_agent_kf_id.at[kf].set(agent_kf_id),
+        kf_seq=ms.kf_seq.at[kf].set(ms.n_kf),
         kf_cam=(ms.kf_cam if cam_params is None
                 else ms.kf_cam.at[kf].set(cam_params)),
         kf_feat_uv=ms.kf_feat_uv.at[kf].set(feat_uv),
@@ -247,7 +282,7 @@ def add_keyframe(ms: MapState, q, t, agent, map_id, ts, agent_kf_id,
         kf_feat_desc=ms.kf_feat_desc.at[kf].set(feat_desc),
         kf_feat_valid=ms.kf_feat_valid.at[kf].set(feat_valid),
         kf_feat_mp=ms.kf_feat_mp.at[kf].set(jnp.full((F,), NO_MP, jnp.int32)),
-        n_kf=kf + 1,
+        n_kf=ms.n_kf + 1,
     )
     ok = (feat_mp >= 0) & feat_valid & ms.mp_valid[jnp.clip(feat_mp, 0)]
     ms = mp_add_observation(
@@ -410,18 +445,36 @@ def rebuild_reverse_obs(ms: MapState) -> MapState:
                        mp_nobs=jnp.minimum(nobs[:P], M))
 
 
+def add_loop_edge(ms: MapState, i, j) -> MapState:
+    """Record a loop/merge edge (KeyFrame::AddLoopEdge / AddMergeEdge).
+
+    On capacity overflow the lowest slot is overwritten (bounded memory;
+    the oldest constraint is dropped — the PGO still has spanning tree +
+    covisibility there)."""
+    slot = jnp.argmax(~ms.loop_valid)
+    return ms._replace(
+        loop_i=ms.loop_i.at[slot].set(jnp.asarray(i, jnp.int32)),
+        loop_j=ms.loop_j.at[slot].set(jnp.asarray(j, jnp.int32)),
+        loop_valid=ms.loop_valid.at[slot].set(True))
+
+
 def remove_keyframe(ms: MapState, kf: jnp.ndarray) -> MapState:
     """KeyFrame::SetBadFlag: drop the KF, its observations, reconnect
-    children to its parent in the spanning tree, clear covis row."""
+    children to its parent in the spanning tree, clear covis row, drop
+    loop edges touching it (culling normally never reaches loop-edge
+    endpoints — they are protected like the reference's SetNotErase)."""
     K, F = ms.kf_feat_mp.shape
     # decrement reverse obs: rebuild after clearing forward row
     ms = ms._replace(
         kf_valid=ms.kf_valid.at[kf].set(False),
+        kf_seq=ms.kf_seq.at[kf].set(BIG_SEQ),
         kf_feat_mp=ms.kf_feat_mp.at[kf].set(
             jnp.full((F,), NO_MP, jnp.int32)),
         covis=ms.covis.at[kf, :].set(0).at[:, kf].set(0),
     )
     parent = ms.kf_parent[kf]
     children = ms.kf_parent == kf
-    ms = ms._replace(kf_parent=jnp.where(children, parent, ms.kf_parent))
+    hit = ((ms.loop_i == kf) | (ms.loop_j == kf)) & ms.loop_valid
+    ms = ms._replace(kf_parent=jnp.where(children, parent, ms.kf_parent),
+                     loop_valid=ms.loop_valid & ~hit)
     return rebuild_reverse_obs(ms)

@@ -88,7 +88,7 @@ def batched_pose_optimization(mesh: Mesh, kind: int, axis: str = "agent"):
 
     vmapped = jax.vmap(
         lambda q0, t0, cp, pts, uv, w, valid: ba_mod.pose_optimization(
-            q0, t0, cp, kind, pts, uv, w, valid))
+            q0, t0, cp, kind, pts, uv, w, valid, use_pallas=False))
 
     @jax.jit
     def fn(q0, t0, cam_params, pts, uv, w, valid):

@@ -21,11 +21,14 @@ in-flight XLA program cannot be interrupted, but its effects are purely
 functional — ignoring the output IS the abort; the reference's mbStopGBA
 has the same observable behavior: corrections are never applied).
 
-Identity across the GBA window: KF slots are append-only (``n_kf``
-monotonic, mapstate/state.py), so a slot < snapshot ``n_kf`` that is valid
-on both sides is the same keyframe.  Map-point slots recycle; a slot is the
-same point iff it is valid on both sides with unchanged ``mp_first_kf``
-(a recycled slot's first observer is a KF slot created after the snapshot).
+Identity across the GBA window: KF slots RECYCLE after culling
+(mapstate/state.py), so slot identity is the per-slot insertion sequence —
+a slot is the same keyframe iff ``kf_seq`` is unchanged and valid on both
+sides; KFs born during the GBA have ``kf_seq >= `` the snapshot's ``n_kf``
+counter.  Map-point slots also recycle; a slot is the same point iff it is
+valid on both sides with unchanged ``mp_first_kf`` (which stores the first
+observer's kf_seq — a recycled slot's first observer is a KF inserted
+after the snapshot).
 """
 
 from __future__ import annotations
@@ -55,8 +58,11 @@ class BackgroundGBA:
 
         @jax.jit
         def compute(ms, map_id):
+            from mam3slam_tpu.mapstate import state as S
             in_map = ms.kf_valid & (ms.kf_map == map_id)
-            anchor = jnp.argmax(in_map)
+            # same gauge anchor as the synchronous global_ba: the OLDEST
+            # keyframe of the map by kf_seq (slots recycle)
+            anchor = jnp.argmin(jnp.where(in_map, ms.kf_seq, S.BIG_SEQ))
             opt_mask = in_map.at[anchor].set(False)
             prob = steps.build_local_ba_problem(ms, opt_mask, is2)
             res = ba_mod.run_ba(prob, kind, iters=iters, cg_iters=cg_iters)
@@ -77,6 +83,7 @@ class BackgroundGBA:
         snap = dict(
             map_id=int(map_id),
             n_kf=int(ms.n_kf),
+            kf_seq=np.asarray(ms.kf_seq),
             kf_q=np.asarray(ms.kf_q),
             kf_t=np.asarray(ms.kf_t),
             mp_first_kf=np.asarray(ms.mp_first_kf),
@@ -128,9 +135,11 @@ class BackgroundGBA:
         t_now = np.asarray(ms.kf_t)
         K = kf_valid.shape[0]
 
-        # direct write-back: optimized KFs still alive in the same map
-        slot = np.arange(K)
-        upd = opt_g & kf_valid & (kf_map == map_id) & (slot < n_snap)
+        # direct write-back: optimized KFs still alive (same kf_seq — the
+        # slot was not culled + recycled during the GBA) in the same map
+        kf_seq = np.asarray(ms.kf_seq)
+        same_kf = kf_valid & (kf_seq == snap["kf_seq"])
+        upd = opt_g & same_kf & (kf_map == map_id)
         if not upd.any():
             return False
 
@@ -141,13 +150,13 @@ class BackgroundGBA:
 
         # spanning-tree catch-up for KFs born during the GBA
         # (reference :3648-3721): T_new(child) = T_rel * T_new(parent),
-        # T_rel from the *current* (uncorrected) estimates.  Slot order is
-        # creation order, so parents are always processed first.
+        # T_rel from the *current* (uncorrected) estimates.  kf_seq order
+        # is creation order, so parents are processed first (slot order is
+        # not — slots recycle).
         corrected = upd.copy()
-        anchor_like = kf_valid & (kf_map == map_id) & opt_g
-        for k in range(n_snap, K):
-            if not (kf_valid[k] and kf_map[k] == map_id):
-                continue
+        born = np.where(kf_valid & (kf_map == map_id)
+                        & (kf_seq >= n_snap))[0]
+        for k in born[np.argsort(kf_seq[born], kind="stable")]:
             p = parent[k]
             if p < 0 or not corrected[p]:
                 continue
@@ -159,7 +168,6 @@ class BackgroundGBA:
             q_new[k] = np.asarray(T_kn.q)
             t_new[k] = np.asarray(T_kn.t)
             corrected[k] = True
-        del anchor_like
 
         # map points optimized by the GBA and still the same point
         mp_valid = np.asarray(ms.mp_valid)

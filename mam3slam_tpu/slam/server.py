@@ -81,6 +81,17 @@ class ServerConfig:
     max_kf_for_gba: int = 200
 
 
+@jax.jit
+def _batched_rel(q, t, ei, ej):
+    """Relative SE3-as-Sim3 measurements S_j * S_i^-1 (s=1) for an edge
+    index batch — one fused dispatch replacing per-edge host composes."""
+    qi, ti = q[ei], t[ei]
+    qj, tj = q[ej], t[ej]
+    qrel = lie.quat_normalize(lie.quat_mul(qj, lie.quat_conj(qi)))
+    trel = tj - lie.quat_rotate(qrel, ti)
+    return qrel, trel
+
+
 class LoopServer:
     """Consumes (agent, kf) events; owns BoW database + hypothesis state."""
 
@@ -372,10 +383,19 @@ class LoopServer:
                 self.sys.ms, jnp.asarray(map_id))
 
     def flush_gba(self):
-        """Block on and apply any pending background GBA (shutdown path)."""
+        """Block on and apply any pending background GBA (shutdown path).
+
+        The write-back mutates sys.ms, so under async mapping it must hold
+        the system's structural lock — flush_gba may be called while
+        mapping jobs are still in flight."""
         if self.gba is not None and self.gba.running:
-            if self.gba.finish():
-                self.events.append("GBA applied")
+            import contextlib
+            lock = (self.sys._ms_lock if getattr(
+                self.sys, "async_mapping", False) else
+                contextlib.nullcontext())
+            with lock:
+                if self.gba.finish():
+                    self.events.append("GBA applied")
 
     def _trigger(self, agent_id: int, kf: int, h: Hypothesis):
         del self.hyp[agent_id]
@@ -457,6 +477,10 @@ class LoopServer:
             kf_t=jnp.where(upd[:, None], t_out, ms.kf_t),
             mp_pos=new_pos,
             map_change=ms.map_change.at[kf_map].add(1))
+        # persist the closed loop (KeyFrame::AddLoopEdge) so every later
+        # PGO keeps this constraint — a second loop closure must not
+        # re-open the first
+        ms = S.add_loop_edge(ms, h.target_kf, kf)
         sysm.ms = ms
 
         # fuse duplicated points in the loop region and refresh
@@ -475,69 +499,68 @@ class LoopServer:
 
     # ------------------------------------------------------------------
     def _essential_edges(self, ms, kf, target_kf, S_corr, in_map):
-        """Essential graph: spanning tree + strong covisibility + the new
-        loop edge (measurement from the verified Sim3)."""
-        K = ms.kf_valid.shape[0]
-        covis = np.asarray(ms.covis)
+        """Essential graph (reference Optimizer::OptimizeEssentialGraph
+        :1501-1783 edge set): spanning tree + strong covisibility +
+        HISTORICAL loop/merge edges (``ms.loop_*``) + the new loop edge.
+
+        Measurements are relative Sim3s at the CURRENT (non-corrected)
+        estimates — exactly the reference, which reads NonCorrectedSim3 /
+        vScw for every stored edge; only the new loop edge carries the
+        externally verified Sim3.  Edge *selection* is a few vectorized
+        numpy scans and the measurement batch is ONE jitted composite
+        (``_batched_rel``) — no O(K^2) host loop (round-1 weakness #4).
+        """
         parent = np.asarray(ms.kf_parent)
         valid = np.asarray(ms.kf_valid) & in_map
-        ei, ej, eq, et, es, ew = [], [], [], [], [], []
 
-        q_np = np.asarray(ms.kf_q)
-        t_np = np.asarray(ms.kf_t)
+        # spanning-tree edges: (parent[j], j) where both in-map
+        j_all = np.where(valid & (parent >= 0))[0]
+        j_tree = j_all[valid[parent[j_all]]]
+        i_tree = parent[j_tree]
 
-        def rel(i, j):  # S_j * S_i^-1 at current estimates (s=1)
-            Si = lie.sim3_from_se3(lie.SE3(jnp.asarray(q_np[i]),
-                                           jnp.asarray(t_np[i])))
-            Sj = lie.sim3_from_se3(lie.SE3(jnp.asarray(q_np[j]),
-                                           jnp.asarray(t_np[j])))
-            m = lie.sim3_compose(Sj, lie.sim3_inverse(Si))
-            return (np.asarray(m.q), np.asarray(m.t), float(m.s))
+        # strong covisibility edges, deduped to i < j, excluding tree pairs
+        covis = np.asarray(ms.covis)
+        cmask = (covis >= self.cfg.pgo_min_covis_weight) \
+            & valid[:, None] & valid[None, :]
+        iu, ju = np.nonzero(np.triu(cmask, k=1))
+        keep = (parent[ju] != iu) & (parent[iu] != ju)
+        i_cov, j_cov = iu[keep], ju[keep]
 
-        for j in range(K):
-            if not valid[j]:
-                continue
-            p = parent[j]
-            if p >= 0 and valid[p]:
-                mq, mt, s_ = rel(p, j)
-                ei.append(p)
-                ej.append(j)
-                eq.append(mq)
-                et.append(mt)
-                es.append(s_)
-                ew.append(1.0)
-            # strong covisibility edges (j < i to dedup)
-            strong = np.where(covis[j] >= self.cfg.pgo_min_covis_weight)[0]
-            for i in strong:
-                if i < j and valid[i] and parent[j] != i and parent[i] != j:
-                    mq, mt, s_ = rel(i, j)
-                    ei.append(i)
-                    ej.append(j)
-                    eq.append(mq)
-                    et.append(mt)
-                    es.append(s_)
-                    ew.append(1.0)
+        # historical loop/merge edges with both endpoints in this map
+        li = np.asarray(ms.loop_i)
+        lj = np.asarray(ms.loop_j)
+        lok = np.asarray(ms.loop_valid)
+        lok = lok & valid[np.clip(li, 0, len(valid) - 1)] \
+            & valid[np.clip(lj, 0, len(valid) - 1)]
+        # the new edge is appended separately — drop a stored duplicate
+        lok = lok & ~(((li == target_kf) & (lj == kf))
+                      | ((li == kf) & (lj == target_kf)))
+        i_loop, j_loop = li[lok], lj[lok]
 
-        # loop edge: measured S_cur,target = S_corr * T_target^-1
-        T_t = lie.sim3_from_se3(lie.SE3(jnp.asarray(q_np[target_kf]),
-                                        jnp.asarray(t_np[target_kf])))
+        ei = np.concatenate([i_tree, i_cov, i_loop]).astype(np.int32)
+        ej = np.concatenate([j_tree, j_cov, j_loop]).astype(np.int32)
+        qrel, trel = _batched_rel(ms.kf_q, ms.kf_t, jnp.asarray(ei),
+                                  jnp.asarray(ej))
+        ew = np.ones(len(ei), np.float32)
+        ew[len(i_tree) + len(i_cov):] = 5.0  # loop edges weighted up
+
+        # new loop edge: measured S_cur,target = S_corr * T_target^-1
+        T_t = lie.sim3_from_se3(lie.SE3(ms.kf_q[target_kf],
+                                        ms.kf_t[target_kf]))
         m = lie.sim3_compose(lie.Sim3(
             jnp.asarray(S_corr.q), jnp.asarray(S_corr.t),
             jnp.asarray(S_corr.s)), lie.sim3_inverse(T_t))
-        ei.append(target_kf)
-        ej.append(kf)
-        eq.append(np.asarray(m.q))
-        et.append(np.asarray(m.t))
-        es.append(float(m.s))
-        ew.append(5.0)
 
-        E = len(ei)
+        E = len(ei) + 1
         return pgo_mod.PGOEdges(
-            i=jnp.asarray(ei, jnp.int32), j=jnp.asarray(ej, jnp.int32),
-            q=jnp.asarray(np.array(eq), jnp.float32),
-            t=jnp.asarray(np.array(et), jnp.float32),
-            s=jnp.asarray(np.array(es), jnp.float32),
-            w=jnp.asarray(ew, jnp.float32), valid=jnp.ones(E, bool))
+            i=jnp.asarray(np.append(ei, target_kf), jnp.int32),
+            j=jnp.asarray(np.append(ej, kf), jnp.int32),
+            q=jnp.concatenate([qrel, m.q[None]]).astype(jnp.float32),
+            t=jnp.concatenate([trel, m.t[None]]).astype(jnp.float32),
+            s=jnp.concatenate([jnp.ones(len(ei)), m.s[None]]).astype(
+                jnp.float32),
+            w=jnp.asarray(np.append(ew, 5.0), jnp.float32),
+            valid=jnp.ones(E, bool))
 
     # ------------------------------------------------------------------
     def merge_maps(self, agent_id: int, kf: int, h: Hypothesis):
@@ -612,6 +635,8 @@ class LoopServer:
             parent[par] = child  # invert each edge along the chain
         parent[kf] = h.target_kf
         ms = ms._replace(kf_parent=jnp.asarray(parent))
+        # persist the merge seam (KeyFrame::AddMergeEdge) for later PGOs
+        ms = S.add_loop_edge(ms, h.target_kf, kf)
         sysm.ms = ms
 
         # retarget every agent of the absorbed map (reference :2595-2603)

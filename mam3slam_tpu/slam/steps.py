@@ -223,10 +223,13 @@ def triangulate_with_neighbor(ms: S.MapState, kf1, kf2,
 
 
 def add_triangulated_points(ms: S.MapState, kf1, kf2, ok, X, feat1, feat2,
-                            map_id) -> S.MapState:
+                            map_id):
     """Allocate slots for a triangulated batch and wire observations in
-    both keyframes."""
-    slots = S.alloc_mp_slots(ms, ok)
+    both keyframes.  Returns (ms, n_dropped) — requests beyond the arena's
+    free capacity are dropped (defined overflow behavior)."""
+    slots, granted = S.alloc_mp_slots(ms, ok)
+    n_dropped = jnp.sum((ok & ~granted).astype(jnp.int32))
+    ok = granted
     P = ms.mp_valid.shape[0]
     w = jnp.where(ok, slots, P - 1)
     ms = ms._replace(
@@ -235,7 +238,7 @@ def add_triangulated_points(ms: S.MapState, kf1, kf2, ok, X, feat1, feat2,
             jnp.where(ok, True, ms.mp_valid[w])),
         mp_map=ms.mp_map.at[w].set(jnp.where(ok, map_id, ms.mp_map[w])),
         mp_first_kf=ms.mp_first_kf.at[w].set(
-            jnp.where(ok, kf1, ms.mp_first_kf[w])),
+            jnp.where(ok, ms.kf_seq[kf1], ms.mp_first_kf[w])),
         mp_ref_kf=ms.mp_ref_kf.at[w].set(
             jnp.where(ok, kf1, ms.mp_ref_kf[w])),
         mp_found=ms.mp_found.at[w].set(jnp.where(ok, 1.0, ms.mp_found[w])),
@@ -248,7 +251,7 @@ def add_triangulated_points(ms: S.MapState, kf1, kf2, ok, X, feat1, feat2,
                               feat1, ok)
     ms = S.mp_add_observation(ms, slots, jnp.full((F,), kf2, jnp.int32),
                               feat2, ok)
-    return ms
+    return ms, n_dropped
 
 
 # ---------------------------------------------------------------------------

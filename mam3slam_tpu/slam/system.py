@@ -37,6 +37,26 @@ RECENTLY_LOST = 3
 LOST = 4
 
 
+def _se3_compose_np(q1, t1, q2, t2):
+    """numpy a*b SE3 compose (wxyz quats) for host-side trajectory fixups."""
+    aw, ax, ay, az = q1
+    bw, bx, by, bz = q2
+    q = np.array([aw * bw - ax * bx - ay * by - az * bz,
+                  aw * bx + ax * bw + ay * bz - az * by,
+                  aw * by - ax * bz + ay * bw + az * bx,
+                  aw * bz + ax * by - ay * bx + az * bw], np.float32)
+    q /= max(np.linalg.norm(q), 1e-12)
+    u = q1[1:]
+    uv = np.cross(u, t2)
+    t = t2 + 2.0 * (q1[0] * uv + np.cross(u, uv)) + t1
+    return q, t.astype(np.float32)
+
+
+class MapCapacityError(RuntimeError):
+    """Raised on keyframe-arena or atlas map-slot exhaustion (the silent
+    jit-scatter drop would otherwise corrupt bookkeeping)."""
+
+
 @dataclass(frozen=True)
 class SlamConfig:
     width: int
@@ -123,6 +143,27 @@ def _compiled(cfg: SlamConfig, kind: int):
         return mask & ms.mp_valid
 
     @jax.jit
+    def track_ref_kf(ms, frame, ref_kf, q0, t0, cam_params):
+        """TrackReferenceKeyFrame fallback (reference src/Tracking.cc:2640):
+        BoW-style brute-force match of the frame against the reference
+        keyframe's map-point features, then motion-only pose optimization
+        seeded from the last pose.  Rescues frames the motion model loses
+        (fast rotation, projection drift)."""
+        cam = cam_mod.Camera(cam_params, kind)
+        bits_f = M.unpack_desc(frame.desc)
+        bits_r = M.unpack_desc(ms.kf_feat_desc[ref_kf])
+        has_r = ms.kf_feat_valid[ref_kf] & (ms.kf_feat_mp[ref_kf] >= 0)
+        res = M.search_by_brute_force(
+            bits_f, frame.valid, frame.angle,
+            bits_r, has_r, ms.kf_feat_angle[ref_kf])
+        mp = ms.kf_feat_mp[ref_kf][jnp.clip(res.idx, 0)]
+        ok = res.ok & (mp >= 0) & ms.mp_valid[jnp.clip(mp, 0)] & frame.valid
+        feat_mp = jnp.where(ok, mp, S.NO_MP)
+        q, t, inlier, n_in = steps.track_pose(ms, frame, feat_mp, q0, t0,
+                                              cam, is2)
+        return feat_mp, q, t, inlier, n_in, jnp.sum(ok.astype(jnp.int32))
+
+    @jax.jit
     def update_found_visible(ms, feat_mp, inlier, visible):
         P = ms.mp_valid.shape[0]
         mp = jnp.clip(feat_mp, 0)
@@ -149,11 +190,10 @@ def _compiled(cfg: SlamConfig, kind: int):
     def triangulate_step(ms, kf1, kf2, map_id):
         ok, X, f1, f2 = steps.triangulate_with_neighbor(ms, kf1, kf2, kind,
                                                         s2)
-        n_before = jnp.sum(ms.mp_valid)
-        ms = steps.add_triangulated_points(ms, kf1, kf2, ok, X, f1, f2,
-                                           map_id)
+        ms, n_drop = steps.add_triangulated_points(ms, kf1, kf2, ok, X,
+                                                   f1, f2, map_id)
         ms = S.update_covis_for_kf(ms, kf1)
-        return ms, jnp.sum(ok.astype(jnp.int32))
+        return ms, jnp.sum(ok.astype(jnp.int32)), n_drop
 
     @jax.jit
     def fuse_step(ms, kf, mp_mask):
@@ -172,11 +212,13 @@ def _compiled(cfg: SlamConfig, kind: int):
         opt_mask = jnp.zeros((ms.kf_valid.shape[0],), bool).at[
             jnp.where(ok, idx, center_kf)].set(True).at[center_kf].set(True)
         opt_mask = opt_mask & ms.kf_valid
-        # keep the center KF's map origin (its two lowest KF slots) fixed
-        # — per-map gauge anchors (reference fixes the map-origin KFs)
+        # keep the center KF's map origin (its two OLDEST keyframes by
+        # kf_seq — slots recycle) fixed — per-map gauge anchors (the
+        # reference fixes the map-origin KFs)
         in_map = ms.kf_valid & (ms.kf_map == ms.kf_map[center_kf])
-        anchor1 = jnp.argmax(in_map)
-        anchor2 = jnp.argmax(in_map.at[anchor1].set(False))
+        seq = jnp.where(in_map, ms.kf_seq, S.BIG_SEQ)
+        anchor1 = jnp.argmin(seq)
+        anchor2 = jnp.argmin(seq.at[anchor1].set(S.BIG_SEQ))
         opt_mask = opt_mask.at[anchor1].set(False).at[anchor2].set(False)
         prob = steps.build_local_ba_problem(ms, opt_mask, is2)
         res = ba_mod.run_ba(prob, kind, iters=cfg.lba_iters,
@@ -205,7 +247,7 @@ def _compiled(cfg: SlamConfig, kind: int):
         """Full-map BA (reference RunGlobalBundleAdjustment :3579; 10
         iters).  Synchronous epoch — no catch-up propagation needed."""
         in_map = ms.kf_valid & (ms.kf_map == map_id)
-        anchor1 = jnp.argmax(in_map)
+        anchor1 = jnp.argmin(jnp.where(in_map, ms.kf_seq, S.BIG_SEQ))
         opt_mask = in_map.at[anchor1].set(False)
         prob = steps.build_local_ba_problem(ms, opt_mask, is2)
         res = ba_mod.run_ba(prob, kind, iters=10, cg_iters=40)
@@ -225,7 +267,8 @@ def _compiled(cfg: SlamConfig, kind: int):
         """MapPointCulling: weak found/visible ratio, or failed to gain
         observations shortly after creation (agent-recency windows)."""
         ratio = ms.mp_found / jnp.maximum(ms.mp_visible, 1.0)
-        age = current_kf - ms.mp_first_kf  # in KF slots (monotonic)
+        # age in KF insertions (kf_seq is monotonic; slots are not)
+        age = ms.kf_seq[current_kf] - ms.mp_first_kf
         young_dead = (age >= 2) & (age <= 4) & (ms.mp_nobs <= 2)
         weak = (ratio < 0.25) & (ms.mp_visible >= 4)
         kill = ms.mp_valid & (weak | young_dead)
@@ -248,9 +291,9 @@ def _compiled(cfg: SlamConfig, kind: int):
             frame2.uv, frame2.level, frame2.angle, frame2.desc,
             frame2.valid, jnp.full((F,), S.NO_MP, jnp.int32),
             cam_params=cam_params)
-        ms = steps.add_triangulated_points(ms, kf1, kf2, mp_ok, X,
-                                           mp_src_feat1, mp_src_feat2,
-                                           map_id)
+        ms, _ = steps.add_triangulated_points(ms, kf1, kf2, mp_ok, X,
+                                              mp_src_feat1, mp_src_feat2,
+                                              map_id)
         ms = S.update_covis_for_kf(ms, kf2)
         ms = S.update_covis_for_kf(ms, kf1)
         ms = S.refresh_mp_stats(ms, ms.mp_valid, sf)
@@ -298,7 +341,8 @@ def _compiled(cfg: SlamConfig, kind: int):
                 jnp.clip(feat_mp, 0)].set(feat_mp >= 0), sf)
         return ms, kf
 
-    return dict(match_and_pose=match_and_pose, local_mp_mask=local_mp_mask,
+    return dict(match_and_pose=match_and_pose, track_ref_kf=track_ref_kf,
+                local_mp_mask=local_mp_mask,
                 kf_redundancy=kf_redundancy, remove_kf=remove_kf,
                 global_ba=global_ba,
                 update_found_visible=update_found_visible,
@@ -361,7 +405,7 @@ class SlamSystem:
         self.agents: List[AgentState] = []
         self.key = jax.random.PRNGKey(seed)
         self.events: List[str] = []
-        self.next_map_id = 0
+        self.mp_dropped = 0  # triangulations dropped on arena overflow
         self.server = None  # optional LoopServer (slam/server.py)
         self.timers = Timers()  # LM/tracking stage series (SURVEY §5)
         # culled KF -> (parent, q_rel, t_rel): pose relative to spanning-
@@ -396,8 +440,14 @@ class SlamSystem:
             try:
                 with self._ms_lock:
                     if job[0] == "stats":
-                        self.ms = self.fns["update_found_visible"](
-                            self.ms, *job[1])
+                        # stats deltas index MP slots of the snapshot they
+                        # were computed on; a mapping job in between may
+                        # have culled + recycled those slots — drop stale
+                        # deltas (they are acknowledged heuristics)
+                        _, epoch, payload = job
+                        if epoch == self.ms_epoch:
+                            self.ms = self.fns["update_found_visible"](
+                                self.ms, *payload)
                     else:  # ("mapping", agent_id, kf)
                         _, aid, kf = job
                         a = self.agents[aid]
@@ -433,10 +483,24 @@ class SlamSystem:
         camera kind and image geometry across agents in this build)."""
         a = AgentState(agent_id=len(self.agents),
                        cam=self.cam if cam is None else cam)
-        a.map_id = self.next_map_id
-        self.next_map_id += 1
+        a.map_id = self._alloc_map_id()
         self.agents.append(a)
         return a.agent_id
+
+    def _alloc_map_id(self) -> int:
+        """Lowest free atlas map slot (slots of merged-away maps recycle).
+
+        Map ids previously grew unbounded while ``map_valid`` has
+        ``max_maps`` slots — the 9th map's scatter silently dropped under
+        jit.  Exhaustion now fails loudly instead."""
+        used = {a.map_id for a in self.agents if a.map_id >= 0}
+        mv = np.asarray(self.ms.map_valid)
+        for m in range(mv.shape[0]):
+            if not mv[m] and m not in used:
+                return m
+        raise MapCapacityError(
+            f"atlas exhausted: all {mv.shape[0]} map slots live "
+            f"(raise MapConfig.max_maps)")
 
     # ------------------------------------------------------------------
     def track(self, agent_id: int, frame: steps.FrameObs, ts: float):
@@ -486,6 +550,7 @@ class SlamSystem:
         t2 = rec.t21
         # structural RMW: serialize against the mapping worker (async)
         import contextlib
+        self._kf_capacity_check(2)
         lock = (self._ms_lock if self.async_mapping
                 else contextlib.nullcontext())
         with lock:
@@ -519,9 +584,14 @@ class SlamSystem:
     def _track_frame(self, a: AgentState, frame, ts):
         cfg = self.cfg
         # one immutable snapshot per frame: concurrent mapping/server
-        # publications (async mode) never shear mid-frame
-        ms = self.ms
+        # publications (async mode) never shear mid-frame.  Epoch is read
+        # BEFORE the snapshot: if a mapping job publishes between the two
+        # reads we hold a *newer* ms with an *older* epoch, and the
+        # epoch-equality check in _create_keyframe fails conservatively
+        # (never the reverse, which would wire stale feat_mp indices into
+        # a post-mapping map).
         snap_epoch = self.ms_epoch
+        ms = self.ms
         # constant velocity prediction
         if a.vel_q is not None:
             q_pred = lie.quat_normalize(lie.quat_mul(a.vel_q, a.q))
@@ -549,6 +619,18 @@ class SlamSystem:
                                   jnp.asarray(12.0), M.TH_HIGH,
                                   jnp.asarray(0.9))
             n_in_i = int(n_in)
+        if n_in_i < cfg.min_track_inliers_lost and a.ref_kf >= 0:
+            # TrackReferenceKeyFrame fallback (reference :2640): BoW match
+            # against the reference KF, pose from the LAST pose (not the
+            # possibly-bad motion prediction)
+            feat_mp_r, q_r, t_r, inlier_r, n_r, n_bow = self.fns[
+                "track_ref_kf"](ms, frame, jnp.asarray(a.ref_kf),
+                                a.q, a.t, a.cam.params)
+            if int(n_bow) >= 15 and int(n_r) > n_in_i and int(n_r) >= 10:
+                feat_mp, q, t, inlier = feat_mp_r, q_r, t_r, inlier_r
+                n_in_i = int(n_r)
+                visible = jnp.zeros_like(visible).at[
+                    jnp.clip(feat_mp, 0)].max(feat_mp >= 0)
 
         # --- track local map: refine with tighter radius from refined pose
         feat_mp2, n_m2, q2, t2, inlier2, n_in2, visible2 = self.fns[
@@ -564,7 +646,8 @@ class SlamSystem:
             # found/visible counters are additive heuristics; apply them
             # serialized through the worker (single-writer discipline)
             try:
-                self._jobs.put_nowait(("stats", (feat_mp, inlier, visible)))
+                self._jobs.put_nowait(
+                    ("stats", snap_epoch, (feat_mp, inlier, visible)))
             except Exception:
                 pass  # queue full: drop the delta (pure heuristic)
         else:
@@ -677,8 +760,7 @@ class SlamSystem:
         """Tracking::CreateMapInAtlas (:2589): the agent abandons tracking
         in its current map and starts a fresh map; the old map stays in the
         atlas and remains mergeable by the server."""
-        a.map_id = self.next_map_id
-        self.next_map_id += 1
+        a.map_id = self._alloc_map_id()
         a.state = NOT_INITIALIZED
         a.init_frame = None
         a.q = None
@@ -691,20 +773,35 @@ class SlamSystem:
 
     # ------------------------------------------------------------------
     def _need_new_keyframe(self, a: AgentState, n_in: int) -> bool:
-        """Reference NeedNewKeyFrame (:2962) simplified to its mono core:
-        interval bounds + tracked-vs-reference ratio."""
+        """Reference NeedNewKeyFrame (:2962) reduced to its mono core:
+        interval bounds + tracked-vs-reference ratio, plus the MAM3SLAM
+        refused-insertion condition c1d (``mnKFinsertionsRefusedSinceLast
+        > 5`` forces the next insertion, src/Tracking.cc:3024) — under
+        async mapping a busy worker refuses insertions and must not starve
+        KF creation indefinitely."""
         cfg = self.cfg
         if a.state != OK:
             return False
         ref = max(a.ref_kf_tracked, 1)
+        weak = n_in < cfg.kf_ref_ratio * ref
         c1 = a.frames_since_kf >= cfg.kf_max_interval
-        c2 = (a.frames_since_kf >= cfg.kf_min_interval
-              and n_in < cfg.kf_ref_ratio * ref)
-        return (c1 or c2) and n_in > 15
+        c2 = a.frames_since_kf >= cfg.kf_min_interval and weak
+        c1d = a.kf_insertions_refused > 5 and weak
+        return (c1 or c2 or c1d) and n_in > 15
+
+    def _kf_capacity_check(self, need: int = 1):
+        """Loud failure before the jit scatter would silently clobber slot
+        0 (add_keyframe recycles culled slots; full means truly full)."""
+        n_live = int(np.asarray(self.ms.kf_valid).sum())
+        if n_live + need > self.cfg.max_kf:
+            raise MapCapacityError(
+                f"keyframe arena exhausted: {n_live} live + {need} needed "
+                f"> max_kf={self.cfg.max_kf} (raise SlamConfig.max_kf)")
 
     def _create_keyframe(self, a: AgentState, frame, feat_mp, inlier, ts,
                          snap_epoch=None):
         cfg = self.cfg
+        self._kf_capacity_check(1)
         feat_mp_in = jnp.where(inlier, feat_mp, S.NO_MP)
 
         if self.async_mapping:
@@ -764,13 +861,20 @@ class SlamSystem:
                                       cfg.n_triangulate_neighbors)
         idx_np, ok_np = np.asarray(idx), np.asarray(ok)
         n_new = 0
-        for j in range(cfg.n_triangulate_neighbors):
+        for j in range(len(ok_np)):
             if not ok_np[j]:
                 continue
-            ms, n = self.fns["triangulate_step"](
+            ms, n, n_drop = self.fns["triangulate_step"](
                 ms, jnp.asarray(kf), jnp.asarray(int(idx_np[j])),
                 jnp.asarray(a.map_id))
             n_new += int(n)
+            n_drop = int(n_drop)
+            if n_drop:
+                if self.mp_dropped == 0:
+                    self.events.append(
+                        f"MP_ARENA_FULL agent={a.agent_id} dropping "
+                        f"triangulations (raise SlamConfig.max_mp)")
+                self.mp_dropped += n_drop
         ms = self.fns["refresh_stats"](ms, ms.mp_valid)
         # fuse with neighborhood map points
         local_mask = self.fns["local_mp_mask"](ms, jnp.asarray(kf), 16)
@@ -791,9 +895,18 @@ class SlamSystem:
         protected = {kf}
         for ag in self.agents:
             protected.add(ag.ref_kf)
-        # per-map anchor slots (two lowest valid) are never culled
+        # loop/merge-edge endpoints are pinned (reference SetNotErase
+        # during/after place recognition) — culling one would drop the
+        # persistent constraint from the essential graph
+        lv = np.asarray(ms.loop_valid)
+        if lv.any():
+            protected.update(int(x) for x in np.asarray(ms.loop_i)[lv])
+            protected.update(int(x) for x in np.asarray(ms.loop_j)[lv])
+        # per-map gauge anchors (two OLDEST by kf_seq) are never culled
         map_id = kf_map_np[kf]
-        anchors = np.where(kf_valid_np & (kf_map_np == map_id))[0][:2]
+        in_map = kf_valid_np & (kf_map_np == map_id)
+        seq_np = np.where(in_map, np.asarray(ms.kf_seq), 1 << 30)
+        anchors = np.argsort(seq_np, kind="stable")[:2]
         protected.update(int(x) for x in anchors)
         culled = 0
         for j in range(len(idx_np)):
@@ -809,8 +922,20 @@ class SlamSystem:
                     T_c = lie.SE3(ms.kf_q[cand], ms.kf_t[cand])
                     T_p = lie.SE3(ms.kf_q[parent], ms.kf_t[parent])
                     T_cp = lie.se3_compose(T_c, lie.se3_inverse(T_p))
-                    self.culled_kf[cand] = (
-                        parent, np.asarray(T_cp.q), np.asarray(T_cp.t))
+                    q_cp, t_cp = np.asarray(T_cp.q), np.asarray(T_cp.t)
+                    self.culled_kf[cand] = (parent, q_cp, t_cp)
+                    # EAGERLY re-reference trajectory rows onto the parent:
+                    # the culled slot recycles, so a later KF in the same
+                    # slot would otherwise hijack lazy resolve_ref walks
+                    for ag in self.agents:
+                        n_rows = len(ag.trajectory)
+                        for i in range(n_rows):
+                            row = ag.trajectory[i]
+                            if row[1] == cand:
+                                q_n, t_n = _se3_compose_np(
+                                    row[2], row[3], q_cp, t_cp)
+                                ag.trajectory[i] = (row[0], parent,
+                                                    q_n, t_n, row[4])
                 ms = self.fns["remove_kf"](ms, jnp.asarray(cand))
                 culled += 1
                 if culled >= 2:

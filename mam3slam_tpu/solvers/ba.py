@@ -290,9 +290,11 @@ class PoseOptResult(NamedTuple):
     n_inliers: jnp.ndarray  # [] i32
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "rounds", "iters"))
+@functools.partial(jax.jit,
+                   static_argnames=("kind", "rounds", "iters", "use_pallas"))
 def pose_optimization(q0, t0, cam_params, kind: int, pts, uv, w, valid,
-                      rounds: int = 4, iters: int = 5) -> PoseOptResult:
+                      rounds: int = 4, iters: int = 5,
+                      use_pallas: bool = True) -> PoseOptResult:
     """Motion-only BA: one SE3 vertex, unary reprojection edges.
 
     Mirrors the reference's 4 optimization rounds with chi2=5.991
@@ -309,7 +311,11 @@ def pose_optimization(q0, t0, cam_params, kind: int, pts, uv, w, valid,
     """
     delta2 = CHI2_MONO
 
-    if kind == cam_mod.PINHOLE and pts.ndim == 2 and (
+    # Pallas kernel only on the plain unbatched path: under jax.vmap the
+    # per-example ndim is still 2 but pallas_call would be batched with
+    # SMEM in/out specs on the Mosaic path (untested) — callers that vmap
+    # (parallel/dist_ba.batched_pose_optimization) pass use_pallas=False.
+    if use_pallas and kind == cam_mod.PINHOLE and pts.ndim == 2 and (
             jax.default_backend() not in ("cpu",)):
         from mam3slam_tpu.ops import pallas_pose
 

@@ -67,8 +67,17 @@ def test_relocalization_after_brief_loss():
         t_i += 1
     a = sys_.agents[aid]
     assert a.state == OK
-    relocs = [e for e in sys_.events if e.startswith("RELOC")]
-    assert relocs, sys_.events
+    # recovery may come from the BoW reference-KF tracking fallback
+    # (TrackReferenceKeyFrame, src/Tracking.cc:2640 — tried before reloc)
+    # or from full relocalization; both are reference-correct.  Verify the
+    # recovered ROTATION against ground truth (translation is mono-scale
+    # ambiguous).
+    from mam3slam_tpu.geometry import lie
+    R_est = np.asarray(lie.quat_to_matrix(a.q))
+    R_true, t_true = traj[11]
+    R_true = (dR @ R_true).astype(np.float32)
+    cos_err = (np.trace(R_est @ R_true.T) - 1) / 2
+    assert np.rad2deg(np.arccos(np.clip(cos_err, -1, 1))) < 3.0
     assert a.map_id == 0  # same map — no new map spawned
     assert not [e for e in sys_.events if e.startswith("NEWMAP")]
 

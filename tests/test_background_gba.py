@@ -37,7 +37,8 @@ def test_background_gba_matches_sync_and_catches_up():
     dev = jax.devices("cpu")[1]
     gba = BackgroundGBA(sys_, device=dev)
     gba.start(map_id)
-    n_snap = int(ms_snap.n_kf)
+    n_snap = int(ms_snap.n_kf)   # insertion counter, NOT a slot bound
+    seq_snap = np.asarray(ms_snap.kf_seq).copy()
 
     world = SyntheticWorld(seed=0)  # fresh rng; same landmarks
     extra = make_trajectory(70)[46:]
@@ -59,13 +60,18 @@ def test_background_gba_matches_sync_and_catches_up():
     q_after = np.asarray(sys_.ms.kf_q)
     t_after = np.asarray(sys_.ms.kf_t)
 
-    # snapshot KFs got exactly the sync-GBA poses (same program+input)
+    # snapshot KFs got exactly the sync-GBA poses (same program+input).
+    # Identity across the window is kf_seq (slots recycle after culling):
+    # a slot is a snapshot KF iff its seq is unchanged and < n_snap.
     sync_q = np.asarray(ms_sync.kf_q)
     sync_t = np.asarray(ms_sync.kf_t)
-    snap_live = kf_valid.copy()
-    snap_live[n_snap:] = False
+    kf_seq = np.asarray(sys_.ms.kf_seq)
+    snap_live = kf_valid & (kf_seq == seq_snap) & (kf_seq < n_snap)
+    anchor = int(np.argmin(np.where(snap_live, seq_snap, 1 << 30)))
     checked = 0
-    for k in np.where(snap_live)[0][1:]:  # skip anchor (fixed)
+    for k in np.where(snap_live)[0]:
+        if k == anchor:  # gauge anchor stays fixed
+            continue
         np.testing.assert_allclose(q_after[k], sync_q[k], atol=1e-6)
         np.testing.assert_allclose(t_after[k], sync_t[k], atol=1e-6)
         checked += 1
@@ -73,9 +79,7 @@ def test_background_gba_matches_sync_and_catches_up():
 
     # KFs born during the GBA: relative pose to parent preserved
     caught = 0
-    for k in range(n_snap, q_after.shape[0]):
-        if not kf_valid[k]:
-            continue
+    for k in np.where(kf_valid & (kf_seq >= n_snap))[0]:
         p = parent[k]
         if p < 0 or not kf_valid[p]:
             continue

@@ -66,12 +66,28 @@ def test_alloc_slots_recycles():
     ms = S.init_map_state(CFG)
     ms = ms._replace(mp_valid=ms.mp_valid.at[:5].set(True))
     want = jnp.asarray([True, True, False, True])
-    slots = np.asarray(S.alloc_mp_slots(ms, want))
+    slots, granted = S.alloc_mp_slots(ms, want)
+    slots = np.asarray(slots)
     assert slots[0] == 5 and slots[1] == 6 and slots[3] == 7
+    assert np.asarray(granted).tolist() == [True, True, False, True]
     # kill slot 2 and realloc: should hand out 2 first
     ms = S.remove_map_points(ms, jnp.zeros(128, bool).at[2].set(True))
-    slots = np.asarray(S.alloc_mp_slots(ms, jnp.asarray([True])))
-    assert slots[0] == 2
+    slots, granted = S.alloc_mp_slots(ms, jnp.asarray([True]))
+    assert int(slots[0]) == 2 and bool(granted[0])
+
+
+def test_alloc_slots_overflow_drops():
+    """Defined full-arena behavior: requests beyond capacity are refused
+    via the granted mask instead of silently aliasing the last slot."""
+    ms = S.init_map_state(CFG)
+    P = ms.mp_valid.shape[0]
+    ms = ms._replace(mp_valid=ms.mp_valid.at[: P - 2].set(True))
+    want = jnp.ones(5, bool)
+    slots, granted = S.alloc_mp_slots(ms, want)
+    g = np.asarray(granted)
+    assert g.tolist() == [True, True, False, False, False]
+    s = np.asarray(slots)[g]
+    assert sorted(s.tolist()) == [P - 2, P - 1]
 
 
 def test_remove_map_points_clears_links():
