@@ -1,12 +1,19 @@
-"""Benchmark: tracked frames/s of the per-frame device pipeline on one chip.
+"""Benchmark: whole-system throughput of the SLAM pipeline on one chip.
 
-Measures the steady-state per-frame compute of the tracking front end —
-full ORB extraction (8-level pyramid, FAST score map, top-K select,
-orientation, rBRIEF) on a 752x480 EuRoC-sized image, dense map-point
-projection matching against a 16k-point map, and motion-only pose
-optimization — as one jitted step, end to end on device.
+Primary metric (comparable across rounds): tracked frames/s of the
+per-frame device pipeline — full ORB extraction (8-level pyramid, FAST
+score map, top-K select, orientation, rBRIEF) on a 752x480 EuRoC-sized
+image, dense map-point projection matching against a 16k-point map, and
+motion-only pose optimization — as one jitted step, end to end on device.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``extra`` carries the back-end stage timings (VERDICT round-1 item 5):
+per-KF mapping step (triangulate + fuse + windowed LBA on a realistic
+64-KF/12k-point arena — the reference's hottest path,
+src/LocalMapping.cc:168), essential-graph PGO at K=256, full-map GBA, the
+amortized full-system fps at the reference KF cadence (1 KF / 8 frames),
+and an MXU speed-of-light probe for the Hamming-matmul matcher core.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 ``vs_baseline``: the reference (CPU, per SURVEY.md §6 no absolute numbers
 published) runs EuRoC mono at ~20 fps realtime budget; the driver target is
 >= 3x that (BASELINE.md), so vs_baseline = fps / 60.
@@ -101,12 +108,196 @@ def main():
     dt = time.perf_counter() - start
     fps = n_iter * CHUNK / dt
 
+    extra = backend_stage_bench()
+    # full-system fps: tracking front end + per-KF mapping amortized at
+    # the reference cadence of ~1 KF per 8 frames (server PR cost rides
+    # the mapping epoch)
+    t_frame = 1.0 / fps
+    t_kf = extra["mapping_kf_ms"] / 1000.0
+    extra["fps_full_system"] = round(1.0 / (t_frame + t_kf / 8.0), 2)
+
     print(json.dumps({
         "metric": "tracking_frontend_fps",
         "value": round(fps, 2),
         "unit": "frames/s (752x480, 700 ORB feats, 16k-pt map, 1 chip)",
         "vs_baseline": round(fps / 60.0, 3),
+        "extra": extra,
     }))
+
+
+def _sync(x):
+    import jax
+    return float(jax.numpy.sum(jax.tree_util.tree_leaves(x)[0]))
+
+
+def _time_it(fn, n=3):
+    import time
+    fn()  # warmup/compile
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn()
+    _sync(out)
+    return (time.perf_counter() - t0) / n * 1000.0
+
+
+def _synthetic_arena(n_kf=64, n_pt=12288, n_feat=512, seed=0):
+    """A realistic mid-run MapState: n_kf keyframes on an orbit inside a
+    shell of n_pt points, full observation wiring (feat_mp + reverse obs +
+    covisibility), half the features left unmatched so triangulation has
+    real work.  Built with the system's own insertion functions."""
+    import jax.numpy as jnp
+    from mam3slam_tpu.geometry import cameras, lie
+    from mam3slam_tpu.mapstate import state as S
+    from mam3slam_tpu.slam.system import SlamConfig, _compiled
+
+    rng = np.random.default_rng(seed)
+    cfg = SlamConfig(width=752, height=480, n_feat=n_feat, max_kf=max(
+        n_kf * 2, 128), max_mp=n_pt * 2, n_levels=4)
+    cam = cameras.make_pinhole(458.0, 458.0, 376.0, 240.0)
+    fns = _compiled(cfg, cam.kind)
+
+    # points on a shell around the orbit
+    th = rng.uniform(0, 2 * np.pi, n_pt)
+    r = rng.uniform(4.0, 5.0, n_pt)
+    pts = np.stack([r * np.cos(th), rng.uniform(-1.5, 1.5, n_pt),
+                    r * np.sin(th)], axis=1).astype(np.float32)
+    desc = rng.integers(0, 256, (n_pt, 32), dtype=np.uint8)
+
+    ms = S.init_map_state(cfg.map_config())
+    ms = ms._replace(
+        mp_pos=jnp.asarray(np.pad(pts, ((0, n_pt), (0, 0)))),
+        mp_valid=jnp.arange(2 * n_pt) < n_pt,
+        mp_map=jnp.zeros(2 * n_pt, jnp.int32),
+        mp_desc=jnp.asarray(np.pad(desc, ((0, n_pt), (0, 0)))),
+        mp_min_dist=jnp.full(2 * n_pt, 0.1, jnp.float32),
+        mp_max_dist=jnp.full(2 * n_pt, 50.0, jnp.float32),
+        map_valid=ms.map_valid.at[0].set(True))
+
+    K = cam.K()
+    fx, fy, cx, cy = 458.0, 458.0, 376.0, 240.0
+    for k in range(n_kf):
+        ang = 2 * np.pi * k / n_kf
+        c, s = np.cos(ang), np.sin(ang)
+        C = np.array([2.5 * c, 0.0, 2.5 * s], np.float32)
+        # rows: x=tangent, y=down, z=outward radial
+        R = np.stack([np.array([-s, 0.0, c]), np.array([0.0, 1.0, 0.0]),
+                      np.array([c, 0.0, s])]).astype(np.float32)
+        t = (-R @ C).astype(np.float32)
+        pc = pts @ R.T + t
+        u = fx * pc[:, 0] / pc[:, 2] + cx
+        v = fy * pc[:, 1] / pc[:, 2] + cy
+        vis = (pc[:, 2] > 0.2) & (u >= 0) & (u < 752) & (v >= 0) & (v < 480)
+        cand = np.flatnonzero(vis)
+        rng.shuffle(cand)
+        sel = cand[:n_feat]
+        F = n_feat
+        uv = np.zeros((F, 2), np.float32)
+        uv[:len(sel)] = np.stack([u[sel], v[sel]], 1)
+        uv += rng.normal(0, 0.3, uv.shape).astype(np.float32)
+        fvalid = np.arange(F) < len(sel)
+        fmp = np.full(F, -1, np.int32)
+        # half matched (observations), half free (triangulation work)
+        half = len(sel) // 2
+        fmp[:half] = sel[:half]
+        fdesc = np.zeros((F, 32), np.uint8)
+        fdesc[:len(sel)] = desc[sel]
+        q = lie.quat_from_matrix(jnp.asarray(R))
+        ms, kf = S.add_keyframe(
+            ms, q, jnp.asarray(t), jnp.asarray(0), jnp.asarray(0),
+            jnp.asarray(float(k), jnp.float32), jnp.asarray(k),
+            jnp.asarray(uv), jnp.zeros(F, jnp.int32),
+            jnp.zeros(F, jnp.float32), jnp.asarray(fdesc),
+            jnp.asarray(fvalid), jnp.asarray(fmp),
+            cam_params=cam.params)
+        ms = S.update_covis_for_kf(ms, kf)
+    ms = S.rebuild_reverse_obs(ms)
+    ms = ms._replace(
+        mp_first_agent=jnp.zeros(2 * n_pt, jnp.int32),
+        mp_first_agent_kf=jnp.zeros(2 * n_pt, jnp.int32),
+        mp_nobs=jnp.where(jnp.arange(2 * n_pt) < n_pt, 8, 0))
+    return ms, cfg, cam, fns
+
+
+def backend_stage_bench():
+    """Per-stage back-end timings on realistic shapes (VERDICT item 5)."""
+    import jax
+    import jax.numpy as jnp
+    from mam3slam_tpu.geometry import lie
+    from mam3slam_tpu.solvers import pgo as pgo_mod
+
+    out = {}
+    ms, cfg, cam, fns = _synthetic_arena()
+    kf = 63  # newest
+    neighbor = 62
+
+    from mam3slam_tpu.mapstate import state as S
+    nb_idx, nb_w, nb_ok = S.best_covisible(ms, jnp.asarray(kf), 8)
+    out["triangulate8_ms"] = round(_time_it(
+        lambda: fns["triangulate_multi_step"](ms, jnp.asarray(kf), nb_idx,
+                                              nb_ok, jnp.asarray(0))[0]), 2)
+    local_mask = fns["local_mp_mask"](ms, jnp.asarray(kf), 16)
+    out["fuse_ms"] = round(_time_it(
+        lambda: fns["fuse_step"](ms, jnp.asarray(kf), local_mask)[0]), 2)
+    out["lba_ms"] = round(_time_it(
+        lambda: fns["local_ba"](ms, jnp.asarray(kf)), n=2), 2)
+    # the per-KF mapping epoch = cull + triangulate(8 neighbors, one
+    # dispatch) + fuse + LBA
+    out["mapping_kf_ms"] = round(
+        out["triangulate8_ms"] + out["fuse_ms"] + out["lba_ms"], 2)
+    out["gba_ms"] = round(_time_it(
+        lambda: fns["global_ba"](ms, jnp.asarray(0)), n=2), 2)
+
+    # essential-graph PGO at K=256 (reference OptimizeEssentialGraph)
+    Kp = 256
+    rng = np.random.default_rng(1)
+    ang = np.linspace(0, 2 * np.pi, Kp, endpoint=False)
+    qs, ts = [], []
+    for a in ang:
+        c, s = np.cos(a), np.sin(a)
+        R = np.stack([np.array([-s, 0.0, c]), np.array([0.0, 1.0, 0.0]),
+                      np.array([c, 0.0, s])]).astype(np.float32)
+        C = np.array([2.5 * c, 0.0, 2.5 * s], np.float32)
+        qs.append(np.asarray(lie.quat_from_matrix(jnp.asarray(R))))
+        ts.append(-R @ C)
+    q = jnp.asarray(np.stack(qs))
+    t = jnp.asarray(np.stack(ts) + rng.normal(0, 0.05, (Kp, 3)))
+    s = jnp.ones(Kp)
+    # chain + skip-2 covis edges + 1 loop edge
+    ei = np.r_[np.arange(Kp - 1), np.arange(Kp - 2), [0]]
+    ej = np.r_[np.arange(1, Kp), np.arange(2, Kp), [Kp - 1]]
+    qrel = []
+    trel = []
+    for i, j in zip(ei, ej):
+        qi, ti_ = qs[i], ts[i]
+        qj, tj = qs[j], ts[j]
+        qr = np.asarray(lie.quat_mul(jnp.asarray(qj), lie.quat_conj(
+            jnp.asarray(qi))))
+        qrel.append(qr)
+        trel.append(tj - np.asarray(lie.quat_rotate(jnp.asarray(qr),
+                                                    jnp.asarray(ti_))))
+    edges = pgo_mod.PGOEdges(
+        i=jnp.asarray(ei, jnp.int32), j=jnp.asarray(ej, jnp.int32),
+        q=jnp.asarray(np.stack(qrel)), t=jnp.asarray(np.stack(trel)),
+        s=jnp.ones(len(ei)), w=jnp.ones(len(ei)),
+        valid=jnp.ones(len(ei), bool))
+    fixed = jnp.zeros(Kp, bool).at[0].set(True)
+    pgo_fn = jax.jit(lambda: pgo_mod.optimize_essential_graph(
+        q, t, s, fixed, edges, iters=20))
+    out["pgo256_ms"] = round(_time_it(pgo_fn, n=2), 2)
+
+    # MXU speed-of-light probe: the Hamming bit-matmul at matcher shape
+    from mam3slam_tpu.ops import matching as M
+    rngb = np.random.default_rng(2)
+    a = jnp.asarray(rngb.integers(0, 2, (768, 256)).astype(np.float32),
+                    jnp.bfloat16)
+    b = jnp.asarray(rngb.integers(0, 2, (16384, 256)).astype(np.float32),
+                    jnp.bfloat16)
+    mm = jax.jit(lambda: jnp.einsum("qd,md->qm", a, b,
+                                    preferred_element_type=jnp.float32))
+    ms_mm = _time_it(mm, n=10)
+    flops = 768 * 16384 * 256 * 2
+    out["match_matmul_tflops"] = round(flops / (ms_mm / 1000.0) / 1e12, 3)
+    return out
 
 
 if __name__ == "__main__":

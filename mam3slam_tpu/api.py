@@ -37,11 +37,13 @@ class MultiAgentSystem:
                  active_loop_closing: bool = True,
                  server_config: Optional[ServerConfig] = None,
                  slam_config: Optional[SlamConfig] = None, seed: int = 0,
-                 async_mapping: bool = False):
+                 async_mapping: bool = False,
+                 slam_overrides: Optional[dict] = None):
         self._vocab = vocabulary
         self._active_lc = active_loop_closing
         self._server_cfg = server_config or ServerConfig()
         self._slam_cfg = slam_config
+        self._slam_overrides = slam_overrides or {}
         self._seed = seed
         self._async_mapping = async_mapping
         self.sys: Optional[SlamSystem] = None
@@ -65,6 +67,9 @@ class MultiAgentSystem:
                     height=H, width=W,
                     n_features=st.n_features, n_levels=st.n_levels,
                     scale_factor=st.scale_factor).capacity)
+            if self._slam_overrides:
+                import dataclasses
+                cfg = dataclasses.replace(cfg, **self._slam_overrides)
             self.sys = SlamSystem(cfg, st.camera(), seed=self._seed,
                                   async_mapping=self._async_mapping)
             if self._active_lc:

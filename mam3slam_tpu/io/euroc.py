@@ -138,3 +138,35 @@ EUROC_CAM0 = dict(  # factory calibration of EuRoC cam0 (public)
     dist=(-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05),
     width=752, height=480, fps=20.0,
 )
+
+
+def load_sensor_yaml(seq_dir: str, cam: str = "cam0") -> Optional[dict]:
+    """Per-sequence calibration from ``mav0/<cam>/sensor.yaml`` (ASL
+    format, present in real EuRoC sequences and in rendered datasets from
+    io/render.py).  Returns the EUROC_CAM0-shaped dict, or None."""
+    path = os.path.join(seq_dir, "mav0", cam, "sensor.yaml")
+    if not os.path.exists(path):
+        return None
+
+    def _floats(line: str) -> List[float]:
+        body = line.split("[", 1)[1].split("]", 1)[0]
+        return [float(v) for v in body.split(",") if v.strip()]
+
+    vals = {}
+    with open(path) as f:
+        for line in f:
+            key = line.split(":", 1)[0].strip()
+            if key in ("intrinsics", "resolution",
+                       "distortion_coefficients"):
+                vals[key] = _floats(line)
+            elif key == "rate_hz":
+                vals[key] = float(line.split(":", 1)[1])
+    if "intrinsics" not in vals or "resolution" not in vals:
+        return None
+    fu, fv, cu, cv = vals["intrinsics"][:4]
+    w, h = vals["resolution"][:2]
+    dist = tuple(vals.get("distortion_coefficients",
+                          [0.0, 0.0, 0.0, 0.0])[:4])
+    return dict(fx=fu, fy=fv, cx=cu, cy=cv, dist=dist,
+                width=int(w), height=int(h),
+                fps=float(vals.get("rate_hz", 20.0)))

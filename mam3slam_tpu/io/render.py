@@ -1,0 +1,217 @@
+"""Raycast renderer for a textured closed-loop environment + ASL writer.
+
+The reference's accuracy story is dataset replay with committed artifacts
+(EuRoC bags through ``Examples/ROS/MAM3SLAM/nodes/ros_mono_multi.cc:48-91``,
+judged from ``output/MapLogs.txt`` / ``Trajectory_i.txt``).  This module
+provides the self-contained equivalent: a deterministic textured room with
+known ground truth, rendered to PNG sequences in the EuRoC ASL layout so
+the standard driver (``examples/run_euroc.py``) consumes them end-to-end —
+pixels -> ORB -> tracking -> mapping -> loop closure / multi-agent merge.
+
+Scene: the interior of a closed box (4 walls + floor + ceiling), each face
+carrying a distinct band-limited two-octave noise texture (corner-rich at
+multiple pyramid scales, no aliasing under sub-pixel motion).  The camera
+orbits inside looking radially outward: a full orbit revisits its start
+(intra-map LOOP); two agents covering overlapping arcs produce an
+inter-agent MERGE.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class RenderCam:
+    width: int = 640
+    height: int = 480
+    fx: float = 320.0
+    fy: float = 320.0
+    cx: float = 320.0
+    cy: float = 240.0
+    fps: float = 20.0
+
+
+def _texture(rng: np.random.Generator, hw: Tuple[int, int]) -> np.ndarray:
+    """Band-limited two-octave noise texture, values ~[30, 225]."""
+    from scipy.ndimage import gaussian_filter
+
+    fine = gaussian_filter(rng.uniform(-1, 1, hw), 1.5, mode="wrap")
+    coarse = gaussian_filter(rng.uniform(-1, 1, hw), 6.0, mode="wrap")
+    t = fine / (np.abs(fine).max() + 1e-9) + coarse / (
+        np.abs(coarse).max() + 1e-9)
+    t = (t - t.min()) / (t.max() - t.min())
+    return (t * 195 + 30).astype(np.float32)
+
+
+def _bilinear(tex: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    h, w = tex.shape
+    u = np.clip(u, 0.0, w - 1.001)
+    v = np.clip(v, 0.0, h - 1.001)
+    u0 = u.astype(np.int32)
+    v0 = v.astype(np.int32)
+    du = u - u0
+    dv = v - v0
+    t00 = tex[v0, u0]
+    t01 = tex[v0, u0 + 1]
+    t10 = tex[v0 + 1, u0]
+    t11 = tex[v0 + 1, u0 + 1]
+    return (t00 * (1 - du) * (1 - dv) + t01 * du * (1 - dv)
+            + t10 * (1 - du) * dv + t11 * du * dv)
+
+
+class RoomScene:
+    """Interior of a textured box, world frame: x right, y down, z forward.
+
+    Faces: x=+S, x=-S, z=+S, z=-S (walls), y=+Hh (floor, y down),
+    y=-Hh (ceiling).
+    """
+
+    def __init__(self, half_size: float = 5.0, half_height: float = 2.5,
+                 seed: int = 0, px_per_m: float = 100.0):
+        self.S = float(half_size)
+        self.Hh = float(half_height)
+        self.px_per_m = float(px_per_m)
+        rng = np.random.default_rng(seed)
+        wall_hw = (int(2 * self.Hh * px_per_m) + 2,
+                   int(2 * self.S * px_per_m) + 2)
+        cap_hw = (int(2 * self.S * px_per_m) + 2,
+                  int(2 * self.S * px_per_m) + 2)
+        # normal (into the room is -n), plane offset n.p = d, texture
+        self.planes = [
+            (np.array([1.0, 0, 0]), self.S, _texture(rng, wall_hw)),
+            (np.array([-1.0, 0, 0]), self.S, _texture(rng, wall_hw)),
+            (np.array([0, 0, 1.0]), self.S, _texture(rng, wall_hw)),
+            (np.array([0, 0, -1.0]), self.S, _texture(rng, wall_hw)),
+            (np.array([0, 1.0, 0]), self.Hh, _texture(rng, cap_hw)),
+            (np.array([0, -1.0, 0]), self.Hh, _texture(rng, cap_hw)),
+        ]
+
+    def _texcoords(self, pi: int, pts: np.ndarray):
+        s = self.px_per_m
+        n, _, _ = self.planes[pi]
+        if abs(n[0]) > 0.5:      # x walls: (z, y)
+            return (pts[..., 2] + self.S) * s, (pts[..., 1] + self.Hh) * s
+        if abs(n[2]) > 0.5:      # z walls: (x, y)
+            return (pts[..., 0] + self.S) * s, (pts[..., 1] + self.Hh) * s
+        return (pts[..., 0] + self.S) * s, (pts[..., 2] + self.S) * s
+
+    def render(self, R: np.ndarray, t: np.ndarray,
+               cam: RenderCam) -> np.ndarray:
+        """R, t: world->cam.  Returns grayscale float image [H, W]."""
+        W, H = cam.width, cam.height
+        ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+        rays_c = np.stack([(xs - cam.cx) / cam.fx, (ys - cam.cy) / cam.fy,
+                           np.ones_like(xs)], axis=-1)
+        Rwc = R.T
+        C = -Rwc @ t
+        rays_w = rays_c @ Rwc.T  # [H, W, 3]
+
+        lam_all = np.full((len(self.planes), H, W), np.inf, np.float32)
+        for i, (n, d, _) in enumerate(self.planes):
+            denom = rays_w @ n
+            safe = np.where(np.abs(denom) > 1e-8, denom, 1.0)
+            lam = np.where(np.abs(denom) > 1e-8, (d - C @ n) / safe, np.inf)
+            lam_all[i] = np.where(lam > 0.05, lam, np.inf)
+        best = np.argmin(lam_all, axis=0)
+        lam = np.take_along_axis(lam_all, best[None], axis=0)[0]
+        pts = C[None, None] + lam[..., None] * rays_w
+
+        img = np.zeros((H, W), np.float32)
+        for i, (_, _, tex) in enumerate(self.planes):
+            sel = best == i
+            if not sel.any():
+                continue
+            u, v = self._texcoords(i, pts[sel])
+            img[sel] = _bilinear(tex, u, v)
+        return np.clip(img, 0, 255)
+
+
+def orbit_pose(theta: float, radius: float):
+    """Camera on a circle of ``radius`` in the y=0 plane, optical axis
+    radially outward, image y = world y (down).  Returns (R, t, C, q_wc)
+    with R, t world->cam and q_wc the world-from-camera quaternion (wxyz)
+    for ground-truth export."""
+    c, s = np.cos(theta), np.sin(theta)
+    C = np.array([radius * c, 0.0, radius * s])
+    z_cam = np.array([c, 0.0, s])          # outward
+    x_cam = np.array([-s, 0.0, c])          # tangent
+    y_cam = np.cross(z_cam, x_cam)          # = (0, 1, 0): world down
+    R = np.stack([x_cam, y_cam, z_cam])     # rows: world->cam
+    t = -R @ C
+    q = _rot_to_quat_wxyz(R.T)
+    return R.astype(np.float32), t.astype(np.float32), C, q
+
+
+def _rot_to_quat_wxyz(Rm: np.ndarray) -> np.ndarray:
+    from scipy.spatial.transform import Rotation
+
+    q = Rotation.from_matrix(Rm).as_quat()  # xyzw
+    return np.array([q[3], q[0], q[1], q[2]])
+
+
+def orbit_trajectory(n_frames: int, start_deg: float, end_deg: float,
+                     radius: float = 2.5, bob: float = 0.0
+                     ) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                     np.ndarray]]:
+    """List of (R, t, C, q_wc) along an arc; ``bob`` adds a small vertical
+    oscillation so the trajectory is not exactly planar (better-conditioned
+    BA, and a non-trivial ATE test)."""
+    out = []
+    for i in range(n_frames):
+        th = np.deg2rad(start_deg + (end_deg - start_deg) * i
+                        / max(n_frames - 1, 1))
+        R, t, C, q = orbit_pose(th, radius)
+        if bob:
+            dy = bob * np.sin(4 * th)
+            C = C + np.array([0, dy, 0])
+            t = -R @ C.astype(np.float32)
+        out.append((R, t.astype(np.float32), C, q))
+    return out
+
+
+def write_asl_sequence(seq_dir: str, scene: RoomScene,
+                       traj: Sequence, cam: RenderCam,
+                       t0: float = 0.0) -> None:
+    """Render ``traj`` and write a full EuRoC ASL sequence:
+    mav0/cam0/{data.csv,sensor.yaml,data/*.png} +
+    mav0/state_groundtruth_estimate0/data.csv."""
+    import cv2
+
+    cam_dir = os.path.join(seq_dir, "mav0", "cam0")
+    img_dir = os.path.join(cam_dir, "data")
+    gt_dir = os.path.join(seq_dir, "mav0", "state_groundtruth_estimate0")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(gt_dir, exist_ok=True)
+
+    with open(os.path.join(cam_dir, "sensor.yaml"), "w") as f:
+        f.write(
+            "%YAML:1.0\n"
+            "sensor_type: camera\n"
+            f"rate_hz: {cam.fps}\n"
+            f"resolution: [{cam.width}, {cam.height}]\n"
+            "camera_model: pinhole\n"
+            f"intrinsics: [{cam.fx}, {cam.fy}, {cam.cx}, {cam.cy}]\n"
+            "distortion_model: radial-tangential\n"
+            "distortion_coefficients: [0.0, 0.0, 0.0, 0.0]\n")
+
+    rows_cam = ["#timestamp [ns],filename"]
+    rows_gt = ["#timestamp, p_RS_R_x [m], p_RS_R_y [m], p_RS_R_z [m], "
+               "q_RS_w [], q_RS_x [], q_RS_y [], q_RS_z []"]
+    dt = 1.0 / cam.fps
+    for i, (R, t, C, q) in enumerate(traj):
+        ts_ns = int(round((t0 + i * dt) * 1e9))
+        name = f"{ts_ns}.png"
+        img = scene.render(R, t, cam).astype(np.uint8)
+        cv2.imwrite(os.path.join(img_dir, name), img)
+        rows_cam.append(f"{ts_ns},{name}")
+        rows_gt.append(f"{ts_ns},{C[0]:.6f},{C[1]:.6f},{C[2]:.6f},"
+                       f"{q[0]:.6f},{q[1]:.6f},{q[2]:.6f},{q[3]:.6f}")
+    with open(os.path.join(cam_dir, "data.csv"), "w") as f:
+        f.write("\n".join(rows_cam) + "\n")
+    with open(os.path.join(gt_dir, "data.csv"), "w") as f:
+        f.write("\n".join(rows_gt) + "\n")

@@ -39,10 +39,12 @@ def save_atlas(system, path: str, server=None):
         srv["voc_meta"] = np.asarray([server.voc.k, server.voc.depth])
         srv["voc_idf"] = np.asarray(server.voc.idf)
         for i, lvl in enumerate(server.voc.centroid_bits):
-            srv[f"voc_level_{i}"] = np.asarray(lvl, np.float32)
-        srv["kf_bow"] = server.kf_bow
-        srv["kf_words"] = server.kf_words
-        srv["kf_word_mask"] = server.kf_word_mask
+            srv[f"voc_level_{i}"] = np.asarray(lvl)  # packed u8
+        if server.voc.leaf_map is not None:
+            srv["voc_leaf_map"] = np.asarray(server.voc.leaf_map)
+        if server.kf_bow_words is not None:
+            srv["kf_bow_words"] = server.kf_bow_words
+            srv["kf_bow_vals"] = server.kf_bow_vals
     np.savez_compressed(
         path,
         agent_scalars=ag_scalars, agent_has_pose=ag_has_pose,
@@ -68,6 +70,10 @@ def load_atlas(system, path: str, server=None):
             L = 64  # MapConfig.max_loop_edges default
             fields[name] = (jnp.zeros((L,), bool) if name == "loop_valid"
                             else jnp.full((L,), -1, jnp.int32))
+        elif name in ("mp_first_agent", "mp_first_agent_kf"):
+            # pre-agent-aware-culling checkpoints
+            P = data["ms_mp_valid"].shape[0]
+            fields[name] = jnp.full((P,), -1, jnp.int32)
         else:
             raise KeyError(f"checkpoint missing MapState field {name}")
     system.ms = S.MapState(**fields)
@@ -89,11 +95,13 @@ def load_atlas(system, path: str, server=None):
         from mam3slam_tpu.ops import bow
 
         k, depth = (int(v) for v in data["srv_voc_meta"])
-        levels = tuple(jnp.asarray(data[f"srv_voc_level_{i}"],
-                                   jnp.bfloat16) for i in range(depth))
+        levels = tuple(jnp.asarray(data[f"srv_voc_level_{i}"].astype(
+            np.uint8)) for i in range(depth))
+        leaf_map = (jnp.asarray(data["srv_voc_leaf_map"])
+                    if "srv_voc_leaf_map" in data else None)
         server.voc = bow.Vocabulary(
             centroid_bits=levels, idf=jnp.asarray(data["srv_voc_idf"]),
-            k=k, depth=depth)
-        server.kf_bow = np.array(data["srv_kf_bow"])
-        server.kf_words = np.array(data["srv_kf_words"])
-        server.kf_word_mask = np.array(data["srv_kf_word_mask"])
+            k=k, depth=depth, leaf_map=leaf_map)
+        if "srv_kf_bow_words" in data:
+            server.kf_bow_words = np.array(data["srv_kf_bow_words"])
+            server.kf_bow_vals = np.array(data["srv_kf_bow_vals"])

@@ -84,6 +84,14 @@ class MapState(NamedTuple):
     mp_normal: jnp.ndarray     # [P, 3] f32 mean viewing direction
     mp_min_dist: jnp.ndarray   # [P] f32 scale-invariance bounds
     mp_max_dist: jnp.ndarray   # [P] f32
+    mp_first_agent: jnp.ndarray  # [P] i32 creating agent (reference
+                               # MapPoint::mnFirstKFAgentId,
+                               # include/MapPoint.h:171-172)
+    mp_first_agent_kf: jnp.ndarray  # [P] i32 creating agent's per-agent
+                               # KF id (mnFirstKFagentLevelId) — culling
+                               # recency windows count THIS agent's own
+                               # insertions, so interleaved agents never
+                               # age each other's fresh points
     mp_ref_kf: jnp.ndarray     # [P] i32 reference keyframe
     mp_first_kf: jnp.ndarray   # [P] i32 kf_seq of the first-observing KF
                                # (recency culling + slot-recycle identity)
@@ -135,6 +143,8 @@ def init_map_state(cfg: MapConfig) -> MapState:
         mp_normal=jnp.zeros((P, 3), jnp.float32),
         mp_min_dist=jnp.zeros((P,), jnp.float32),
         mp_max_dist=jnp.zeros((P,), jnp.float32),
+        mp_first_agent=jnp.full((P,), -1, jnp.int32),
+        mp_first_agent_kf=jnp.full((P,), -1, jnp.int32),
         mp_ref_kf=jnp.full((P,), NO_KF, jnp.int32),
         mp_first_kf=jnp.full((P,), NO_KF, jnp.int32),
         mp_found=jnp.zeros((P,), jnp.float32),

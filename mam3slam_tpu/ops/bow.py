@@ -31,16 +31,34 @@ import numpy as np
 
 
 class Vocabulary(NamedTuple):
-    """Flat vocabulary tree; a pytree.  levels[l]: [k^(l+1), 256] bf16."""
+    """Flat vocabulary tree; a pytree.
 
-    centroid_bits: tuple          # per-level bit matrices
-    idf: jnp.ndarray              # [n_leaves] f32
+    levels[l]: [k^(l+1), 32] PACKED u8 centroids (the complete-tree slot
+    layout: children of node n at slots n*k..n*k+k-1).  Packed storage is
+    what lets the reference-scale ~1M-leaf ORB vocabulary fit on device
+    (~35 MB total vs ~570 MB unpacked bf16); descent unpacks only the k
+    gathered children per descriptor.
+
+    ``leaf_map`` (imported vocabularies): leaf slot -> word id.  DBoW2
+    trees are incomplete (k-means splits stop early on small clusters);
+    imported trees pad missing children with sibling copies and remap the
+    padded leaf slots onto the real word ids.  None = identity (trained
+    complete trees).
+    """
+
+    centroid_bits: tuple          # per-level packed [_, 32] u8
+    idf: jnp.ndarray              # [n_words] f32
     k: int
     depth: int
+    leaf_map: object = None       # None or [k^depth] i32
 
     @property
     def n_leaves(self) -> int:
         return self.k ** self.depth
+
+    @property
+    def n_words(self) -> int:
+        return int(self.idf.shape[0])
 
 
 def _unpack_bits_np(desc: np.ndarray) -> np.ndarray:
@@ -118,8 +136,7 @@ def _build_vocabulary_native(descs: np.ndarray, k: int, depth: int,
     off = 0
     for lv in range(depth):
         cnt = k ** (lv + 1)
-        bits = _unpack_bits_np(cents[off:off + cnt])
-        levels.append(jnp.asarray(bits.astype(np.float32), jnp.bfloat16))
+        levels.append(jnp.asarray(cents[off:off + cnt]))
         off += cnt
     n_leaves = k ** depth
     counts = np.bincount(leaf, minlength=n_leaves).astype(np.float64)
@@ -162,8 +179,7 @@ def build_vocabulary(descs: np.ndarray, k: int = 10, depth: int = 3,
                      + c.sum(axis=1)[None, :])
                 new_assign[sel] = p * k + d.argmin(axis=1)
         assignments = new_assign
-        levels.append(jnp.asarray(
-            cents.astype(np.float32), jnp.bfloat16))
+        levels.append(jnp.asarray(_pack_bits_np(cents)))
 
     n_leaves = k ** depth
     counts = np.bincount(assignments, minlength=n_leaves).astype(np.float64)
@@ -172,33 +188,41 @@ def build_vocabulary(descs: np.ndarray, k: int = 10, depth: int = 3,
                       k=k, depth=depth)
 
 
-def quantize(voc: Vocabulary, desc_bits: jnp.ndarray) -> jnp.ndarray:
-    """[N, 256] bit matrix (0/1, any float dtype) -> [N] leaf word ids.
+def _unpack_device(packed: jnp.ndarray) -> jnp.ndarray:
+    """[..., 32] u8 -> [..., 256] bf16 bits, little-endian bit order."""
+    bits = (packed[..., :, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
+    return bits.reshape(*packed.shape[:-1], 256).astype(jnp.bfloat16)
 
-    L batched Hamming-argmin descents; each step compares against the k
-    children of the current node via one gathered bit-matmul.
+
+def quantize(voc: Vocabulary, desc_bits: jnp.ndarray) -> jnp.ndarray:
+    """[N, 256] bit matrix (0/1, any float dtype) -> [N] word ids.
+
+    L batched Hamming-argmin descents; each step gathers + unpacks only
+    the k children of the current node, then one bit-matmul.
     """
     n = desc_bits.shape[0]
     node = jnp.zeros((n,), jnp.int32)
     x = desc_bits.astype(jnp.bfloat16)
     pop_x = jnp.sum(x.astype(jnp.float32), axis=-1)
     for lv in range(voc.depth):
-        cents = voc.centroid_bits[lv]              # [k^(lv+1), 256] bf16
+        cents = voc.centroid_bits[lv]              # [k^(lv+1), 32] u8
         child0 = node * voc.k
         idx = child0[:, None] + jnp.arange(voc.k)[None, :]  # [N, k]
-        c = cents[idx]                             # [N, k, 256]
+        c = _unpack_device(cents[idx])             # [N, k, 256]
         dot = jnp.einsum("nd,nkd->nk", x, c,
                          preferred_element_type=jnp.float32)
         pop_c = jnp.sum(c.astype(jnp.float32), axis=-1)
         d = pop_x[:, None] + pop_c - 2.0 * dot
         node = (child0 + jnp.argmin(d, axis=-1)).astype(jnp.int32)
+    if voc.leaf_map is not None:
+        node = voc.leaf_map[node]
     return node
 
 
 def bow_vector(voc: Vocabulary, words: jnp.ndarray,
                valid: jnp.ndarray) -> jnp.ndarray:
     """Word ids [F] (+mask) -> dense L1-normalized tf-idf vector [W]."""
-    W = voc.n_leaves
+    W = voc.n_words
     tf = jnp.zeros((W,), jnp.float32).at[
         jnp.where(valid, words, 0)].add(jnp.where(valid, 1.0, 0.0))
     v = tf * voc.idf
@@ -239,3 +263,194 @@ def detect_candidates(scores: jnp.ndarray, shared: jnp.ndarray,
     mv, mi = jax.lax.top_k(s_merge, n_best)
     return (li.astype(jnp.int32), jnp.isfinite(lv),
             mi.astype(jnp.int32), jnp.isfinite(mv))
+
+
+# ---------------------------------------------------------------------------
+# sparse BoW database rows (reference-scale vocabularies)
+# ---------------------------------------------------------------------------
+# A keyframe touches at most F words, so its tf-idf vector has <= F nonzeros
+# regardless of vocabulary size.  The database stores (word ids, values)
+# per KF; scoring all K keyframes against a query is one gather + reduction
+# — O(K*F), independent of W.  (The reference's DBoW2 inverted file solves
+# the same scaling problem on CPU; gathers are the TPU idiom for it.)
+
+def sparse_bow_row(voc: Vocabulary, words_np: np.ndarray,
+                   valid_np: np.ndarray, cap: int):
+    """Host-side: word ids [F] + mask -> (uniq_words [cap] i32 padded -1,
+    vals [cap] f32, L1-normalized tf-idf)."""
+    uw, counts = np.unique(words_np[valid_np], return_counts=True)
+    idf = np.asarray(voc.idf)
+    vals = counts.astype(np.float32) * idf[uw]
+    s = np.abs(vals).sum()
+    if s > 1e-9:
+        vals = vals / s
+    out_w = np.full(cap, -1, np.int32)
+    out_v = np.zeros(cap, np.float32)
+    n = min(len(uw), cap)
+    out_w[:n] = uw[:n]
+    out_v[:n] = vals[:n]
+    return out_w, out_v
+
+
+def dense_query(voc: Vocabulary, q_words: np.ndarray,
+                q_vals: np.ndarray) -> np.ndarray:
+    """Sparse query row -> dense [W] f32 (host scatter; 4 MB at W=1e6)."""
+    q = np.zeros(voc.n_words, np.float32)
+    sel = q_words >= 0
+    q[q_words[sel]] = q_vals[sel]
+    return q
+
+
+@jax.jit
+def l1_scores_sparse(q_dense: jnp.ndarray, db_words: jnp.ndarray,
+                     db_vals: jnp.ndarray) -> jnp.ndarray:
+    """DBoW2 L1 similarity against every db row at once.  For
+    L1-normalized non-negative vectors, 1 - 0.5|q-d|_1 = sum_w min(q,d),
+    which only needs the db rows' own word slots.  q_dense [W],
+    db_words [K, F] (-1 pad), db_vals [K, F] -> [K]."""
+    at = q_dense[jnp.clip(db_words, 0)]
+    return jnp.sum(jnp.where(db_words >= 0,
+                             jnp.minimum(at, db_vals), 0.0), axis=-1)
+
+
+@jax.jit
+def shared_words_sparse(q_dense: jnp.ndarray,
+                        db_words: jnp.ndarray) -> jnp.ndarray:
+    """Count of query words present in each db row's word set."""
+    present = q_dense[jnp.clip(db_words, 0)] > 0
+    return jnp.sum(jnp.where(db_words >= 0, present, False), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# DBoW2 ORBvoc.txt import / export
+# ---------------------------------------------------------------------------
+
+def load_orbvoc_text(path: str) -> Vocabulary:
+    """Parse a DBoW2 text vocabulary (the reference's ORBvoc.txt format,
+    loaded by ORBVocabulary::loadFromTextFile in
+    /root/reference/src/MultiAgentSystem.cc:22-30).
+
+    Format: header ``k L scoring weighting``; one line per node (breadth
+    order): ``parentId isLeaf b0 .. b31 weight``.  Node ids are implicit
+    (1 + line index; node 0 is the root).  Word ids are assigned to leaves
+    in file order (DBoW2 createWords()).
+
+    DBoW2 trees are incomplete; missing child slots of the complete k-ary
+    layout are padded with a sibling copy, and early leaves (a leaf above
+    the bottom level) propagate their centroid down so every descent ends
+    at the bottom; ``leaf_map`` folds the padded bottom slots back onto
+    real word ids.
+    """
+    with open(path) as f:
+        header = f.readline().split()
+        k, L = int(header[0]), int(header[1])
+        parents, leaves, descs, weights = [], [], [], []
+        for line in f:
+            parts = line.split()
+            if len(parts) < 35:
+                continue
+            parents.append(int(parts[0]))
+            leaves.append(int(parts[1]))
+            descs.append([int(v) for v in parts[2:34]])
+            weights.append(float(parts[34]))
+    n_nodes = len(parents)
+    parents = np.asarray(parents, np.int64)
+    is_leaf = np.asarray(leaves, bool)
+    descs = np.asarray(descs, np.uint8)
+    weights = np.asarray(weights, np.float64)
+
+    # node id in the file = 1 + line index (root = 0, no line)
+    # slot[level][complete-tree index] assignment
+    levels = [np.zeros((k ** (lv + 1), 32), np.uint8) for lv in range(L)]
+    # word ids in file order of leaves
+    word_of_node = np.full(n_nodes + 1, -1, np.int64)
+    word_of_node[1:][is_leaf] = np.arange(int(is_leaf.sum()))
+    idf = weights[is_leaf].astype(np.float32)
+
+    node_level = np.full(n_nodes + 1, -1, np.int64)   # depth of each node
+    node_slot = np.full(n_nodes + 1, -1, np.int64)    # complete-tree slot
+    node_level[0] = -1
+    node_slot[0] = 0
+    child_count = np.zeros(n_nodes + 1, np.int64)
+    leaf_map = np.full(k ** L, 0, np.int64)
+
+    # nodes appear after their parent in the file (breadth order)
+    pending_fill = []   # (level, slot, packed desc, word) subtrees to fill
+    for i in range(n_nodes):
+        nid = i + 1
+        p = parents[i]
+        lv = node_level[p] + 1
+        ci = child_count[p]
+        if ci >= k:
+            raise ValueError(f"node {nid}: parent {p} has > k children")
+        child_count[p] += 1
+        slot = node_slot[p] * k + ci
+        node_level[nid] = lv
+        node_slot[nid] = slot
+        levels[lv][slot] = descs[i]
+        if is_leaf[i]:
+            pending_fill.append((lv, slot, descs[i], word_of_node[nid]))
+
+    # pad missing children with a copy of the group's FIRST filled sibling
+    # (children are allocated as a prefix of each group, so the copy sits
+    # after the original and can never win an exact-tie argmin against it
+    # — a descent never lands on a padded slot)
+    for lv in range(L):
+        cnt = k ** (lv + 1)
+        filled = np.zeros(cnt, bool)
+        sel = node_level[1:] == lv
+        filled[node_slot[1:][sel]] = True
+        groups = filled.reshape(-1, k)
+        first = groups.argmax(axis=1)
+        has = groups.any(axis=1)
+        src_full = np.repeat(np.arange(cnt // k) * k + first, k)
+        need = ~filled & np.repeat(has, k)
+        levels[lv][need] = levels[lv][src_full[need]]
+
+    # propagate early leaves down to the bottom level and build leaf_map
+    bottom_filled = np.zeros(k ** L, bool)
+    for lv, slot, d, w in pending_fill:
+        lo, hi = slot, slot + 1
+        for l2 in range(lv + 1, L):
+            lo, hi = lo * k, hi * k
+            levels[l2][lo:hi] = d
+        leaf_map[lo:hi] = w
+        bottom_filled[lo:hi] = True
+    # padded bottom slots inherit their group's first real word
+    groups = bottom_filled.reshape(-1, k)
+    first = groups.argmax(axis=1)
+    has = groups.any(axis=1)
+    src_full = np.repeat(np.arange(k ** (L - 1)) * k + first, k)
+    need = ~bottom_filled & np.repeat(has, k)
+    leaf_map[need] = leaf_map[src_full[need]]
+
+    return Vocabulary(
+        centroid_bits=tuple(jnp.asarray(lv_arr) for lv_arr in levels),
+        idf=jnp.asarray(idf), k=k, depth=L,
+        leaf_map=jnp.asarray(leaf_map, jnp.int32))
+
+
+def save_orbvoc_text(voc: Vocabulary, path: str) -> None:
+    """Export a (trained, complete-tree) vocabulary in the DBoW2 text
+    format so it round-trips through load_orbvoc_text and is consumable
+    by reference tooling."""
+    if voc.leaf_map is not None:
+        raise ValueError("export of imported (remapped) vocabularies is "
+                         "not supported")
+    k, L = voc.k, voc.depth
+    idf = np.asarray(voc.idf)
+    lines = [f"{k} {L} 0 0"]
+    # breadth order; node ids: root=0, then level by level
+    level_base = [1]
+    for lv in range(L - 1):
+        level_base.append(level_base[-1] + k ** (lv + 1))
+    for lv in range(L):
+        cents = np.asarray(voc.centroid_bits[lv])
+        for s in range(k ** (lv + 1)):
+            parent = 0 if lv == 0 else level_base[lv - 1] + s // k
+            leaf = 1 if lv == L - 1 else 0
+            w = float(idf[s]) if leaf else 0.0
+            b = " ".join(str(int(v)) for v in cents[s])
+            lines.append(f"{parent} {leaf} {b} {w:.6f}")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")

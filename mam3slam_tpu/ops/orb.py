@@ -836,7 +836,8 @@ def extract_orb(img: jnp.ndarray, cfg: OrbConfig) -> Features:
 
     lvl = jnp.asarray(lvl_np)
     # Round the blurred image to the integer grid: camera images are
-    # uint8, and rounding makes descriptors bit-exact with OpenCV ORB
+    # uint8, and rounding brings descriptors to near-bit-exact parity with
+    # OpenCV ORB
     # (ties in pattern-pair comparisons resolve identically).
     blur_stack = jnp.round(gaussian_blur(stack))
     N = xy_i.shape[0]

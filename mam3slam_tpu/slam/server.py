@@ -67,6 +67,7 @@ class ServerConfig:
     n_candidates: int = 3
     n_bow_matches: int = 20
     n_sim3_inliers: int = 10
+    n_proj_matches: int = 15
     n_proj_opt_matches: int = 20
     n_confirm: int = 3
     max_misses: int = 2
@@ -106,9 +107,12 @@ class LoopServer:
         self.hyp: Dict[int, Hypothesis] = {}
         self.key = jax.random.PRNGKey(seed + 1234)
         K = system.cfg.max_kf
-        self.kf_bow = None         # [K, W] f32 lazily allocated
-        self.kf_words = None       # [K, F] i32
-        self.kf_word_mask = None   # [K, W] bool
+        # sparse BoW database rows: a KF touches <= F words regardless of
+        # vocabulary size, so [K, F] (ids, tf-idf) scales to the
+        # reference's ~1M-leaf ORBvoc where a dense [K, W] matrix cannot
+        self.kf_bow_words = None   # [K, F] i32 (-1 pad), lazily allocated
+        self.kf_bow_vals = None    # [K, F] f32
+        self._pending_index: List[int] = []  # KFs awaiting vocab training
         self.events: List[str] = []
         self.timers = Timers()  # PR / LC / MM phase series (SURVEY §5)
         self._fns = {}
@@ -116,38 +120,40 @@ class LoopServer:
     # ------------------------------------------------------------------
     def ensure_vocab(self):
         """Train the vocabulary from descriptors already in the map if none
-        was provided (bootstrap path; EuRoC runs pass a pre-trained one)."""
-        if self.voc is not None:
-            return
-        ms = self.sys.ms
-        desc = np.asarray(ms.kf_feat_desc)
-        valid = np.asarray(ms.kf_feat_valid) & np.asarray(ms.kf_valid)[:, None]
-        sample = desc[valid][:20000]
-        if len(sample) < 500:
-            sample = np.random.default_rng(0).integers(
-                0, 256, (2000, 32), dtype=np.uint8)
-        self.voc = bow.build_vocabulary(sample, k=self.cfg.vocab_k,
-                                        depth=self.cfg.vocab_depth)
-        K = self.sys.cfg.max_kf
-        W = self.voc.n_leaves
-        self.kf_bow = np.zeros((K, W), np.float32)
-        self.kf_word_mask = np.zeros((K, W), bool)
-        self.kf_words = np.zeros((K, self.sys.cfg.n_feat), np.int32)
+        was provided (bootstrap path; production runs pass a pre-trained
+        one or import the reference's ORBvoc.txt via
+        ``bow.load_orbvoc_text``)."""
+        if self.voc is None:
+            ms = self.sys.ms
+            desc = np.asarray(ms.kf_feat_desc)
+            valid = (np.asarray(ms.kf_feat_valid)
+                     & np.asarray(ms.kf_valid)[:, None])
+            sample = desc[valid][:120000]
+            if len(sample) < 500:
+                sample = np.random.default_rng(0).integers(
+                    0, 256, (2000, 32), dtype=np.uint8)
+            self.voc = bow.build_vocabulary(sample, k=self.cfg.vocab_k,
+                                            depth=self.cfg.vocab_depth)
+        if self.kf_bow_words is None:
+            K = self.sys.cfg.max_kf
+            F = self.sys.cfg.n_feat
+            self.kf_bow_words = np.full((K, F), -1, np.int32)
+            self.kf_bow_vals = np.zeros((K, F), np.float32)
 
     # ------------------------------------------------------------------
     def _index_keyframe(self, kf: int):
-        """Quantize + store the KF's BoW vector (KeyFrameDatabase::add)."""
+        """Quantize + store the KF's sparse BoW row
+        (KeyFrameDatabase::add)."""
         ms = self.sys.ms
         desc = ms.kf_feat_desc[kf]
         valid = ms.kf_feat_valid[kf]
         bits = M.unpack_desc(desc)
         words = bow.quantize(self.voc, bits)
-        vec = bow.bow_vector(self.voc, words, valid)
-        self.kf_words[kf] = np.asarray(words)
-        self.kf_bow[kf] = np.asarray(vec)
-        wm = np.zeros(self.voc.n_leaves, bool)
-        wm[self.kf_words[kf][np.asarray(valid)]] = True
-        self.kf_word_mask[kf] = wm
+        uw, vals = bow.sparse_bow_row(
+            self.voc, np.asarray(words), np.asarray(valid),
+            self.kf_bow_words.shape[1])
+        self.kf_bow_words[kf] = uw
+        self.kf_bow_vals[kf] = vals
 
     # ------------------------------------------------------------------
     def process_keyframe(self, agent_id: int, kf: int):
@@ -156,13 +162,30 @@ class LoopServer:
             return self._process_keyframe(agent_id, kf)
 
     def _process_keyframe(self, agent_id: int, kf: int):
+        ms = self.sys.ms
+        if self.voc is None:
+            # defer bootstrap vocabulary training until the atlas holds
+            # enough descriptors to cluster meaningfully (detection is
+            # gated at min_kfs_in_map KFs anyway); a vocab trained on the
+            # first 2 KFs ranks candidates near-randomly on real images
+            self._pending_index.append(kf)
+            n_valid = int(np.asarray(ms.kf_valid).sum())
+            if n_valid < self.cfg.min_kfs_in_map:
+                return None
         self.ensure_vocab()
+        if self._pending_index:
+            kf_valid = np.asarray(self.sys.ms.kf_valid)
+            for p in self._pending_index:
+                if kf_valid[p]:  # culled slots skipped / recycled later
+                    self._index_keyframe(p)
+            self._pending_index = []
+        else:
+            self._index_keyframe(kf)
         # harvest a completed background GBA between epochs (reference
         # polls mbFinishedGBA in LoopClosing::Run)
         if self.gba is not None and self.gba.running and self.gba.ready:
             if self.gba.finish():
                 self.events.append("GBA applied")
-        self._index_keyframe(kf)
         ms = self.sys.ms
         kf_map = int(ms.kf_map[kf])
         n_in_map = int((np.asarray(ms.kf_valid)
@@ -201,11 +224,12 @@ class LoopServer:
     def _detect_candidates(self, kf: int):
         ms = self.sys.ms
         cfg = self.cfg
-        scores = bow.l1_scores(jnp.asarray(self.kf_bow[kf]),
-                               jnp.asarray(self.kf_bow))
-        shared = bow.shared_word_counts(
-            jnp.asarray(self.kf_words[kf]), ms.kf_feat_valid[kf],
-            jnp.asarray(self.kf_word_mask))
+        q_dense = jnp.asarray(bow.dense_query(
+            self.voc, self.kf_bow_words[kf], self.kf_bow_vals[kf]))
+        db_words = jnp.asarray(self.kf_bow_words)
+        scores = bow.l1_scores_sparse(q_dense, db_words,
+                                      jnp.asarray(self.kf_bow_vals))
+        shared = bow.shared_words_sparse(q_dense, db_words)
         covis_row = np.asarray(ms.covis[kf])
         kf_valid = np.asarray(ms.kf_valid)
         eligible = (kf_valid & (covis_row == 0)
@@ -259,6 +283,11 @@ class LoopServer:
             bits1, has1, ms.kf_feat_angle[kf],
             bits2, has2, ms.kf_feat_angle[cand])
         n_bow = int(np.asarray(res.ok).sum())
+        # per-stage funnel counters (reference's bDoWrite debug dumps,
+        # LoopClosing.cc:1016-1066) — cheap, invaluable on real data
+        self.last_verify = {"kf": kf, "cand": cand, "n_bow": n_bow,
+                            "n_ransac": 0, "n_proj": 0, "n_opt_inl": 0,
+                            "n_final": 0}
         if n_bow < cfg.n_bow_matches:
             return None
 
@@ -283,6 +312,8 @@ class LoopServer:
             uv1, uv2, cam_kf, cam_cand,
             ms.kf_q[kf], ms.kf_t[kf], ms.kf_q[cand], ms.kf_t[cand],
             sub, sig1, sig2, min_inliers=cfg.n_sim3_inliers)
+        self.last_verify["n_ransac"] = int(np.asarray(r.n_inliers)) \
+            if hasattr(r, "n_inliers") else int(bool(r.ok))
         if not bool(r.ok):
             return None
 
@@ -304,29 +335,62 @@ class LoopServer:
             ms.kf_feat_uv[kf], ms.kf_feat_level[kf], bits1,
             ms.kf_feat_valid[kf], level_lo=8, level_hi=8)
         n_proj = int(np.asarray(mres.ok).sum())
-        if n_proj < cfg.n_proj_opt_matches:
+        self.last_verify["n_proj"] = n_proj
+        if n_proj < cfg.n_proj_matches:
             return None
 
-        # refine with optimize_sim3 on the projection matches
-        P = ms.mp_pos.shape[0]
-        sel_mp = jnp.arange(P)
+        # refine with optimize_sim3 on GENUINE matched pairs (reference
+        # Optimizer::OptimizeSim3 src/Optimizer.cc:2115 builds edges only
+        # where the current KF's matched feature carries its OWN map point
+        # (pMP1) and the candidate point is observed in the candidate KF
+        # (i2 = pMP2->GetIndexInKeyFrame(pKF2) >= 0) — both reprojection
+        # directions are then independent constraints, not a proxy).
         pc2 = lie.sim3_apply(T2, ms.mp_pos)       # candidate-camera frame
-        pc1_obs_uv = ms.kf_feat_uv[kf][jnp.clip(mres.idx, 0)]
-        # current KF camera points of the matched features' map points
-        # (use the candidate-map geometry transformed by S12 as pc1 proxy)
-        pc1 = lie.sim3_apply(S12, pc2)
-        lvl_f = ms.kf_feat_level[kf][jnp.clip(mres.idx, 0)]
-        sgf = jnp.asarray(s2)[jnp.clip(lvl_f, 0, len(s2) - 1)]
+        f1 = jnp.clip(mres.idx, 0)                # matched feature in kf
+        uv1 = ms.kf_feat_uv[kf][f1]
+        mp1 = ms.kf_feat_mp[kf][f1]               # current map's own MP
+        has1 = mp1 >= 0
+        # current-KF camera-frame points of the current map's own MPs
+        p1w = ms.mp_pos[jnp.clip(mp1, 0)]
+        pc1 = lie.quat_rotate(ms.kf_q[kf][None], p1w) + ms.kf_t[kf][None]
+        # observation of each candidate point in the candidate KF itself
+        hit2 = ms.mp_obs_kf == cand               # [P, M]
+        has2 = hit2.any(-1)
+        f2 = jnp.clip(ms.mp_obs_feat[
+            jnp.arange(hit2.shape[0]), jnp.argmax(hit2, axis=-1)], 0)
+        uv2 = ms.kf_feat_uv[cand][f2]
+        pair_ok = mres.ok & has1 & has2
+        lvl_f1 = ms.kf_feat_level[kf][f1]
+        lvl_f2 = ms.kf_feat_level[cand][f2]
+        sg1 = jnp.asarray(s2)[jnp.clip(lvl_f1, 0, len(s2) - 1)]
+        sg2 = jnp.asarray(s2)[jnp.clip(lvl_f2, 0, len(s2) - 1)]
         q_o, t_o, s_o, inl, n_in = sim3_mod.optimize_sim3(
-            r.q, r.t, r.s, pc1, pc2, pc1_obs_uv,
-            cam_mod.project_ideal(cam_cand, pc2), mres.ok,
-            cam_kf, cam_cand, sgf, sgf)
-        n_opt = int(n_in)
+            r.q, r.t, r.s, pc1, pc2, uv1, uv2, pair_ok,
+            cam_kf, cam_cand, sg1, sg2)
+        self.last_verify["n_opt_inl"] = int(n_in)
+        if int(n_in) < cfg.n_sim3_inliers:
+            return None
+
+        # decisive gate: re-project the window through the OPTIMIZED Sim3
+        # at the narrow radius (reference SearchByProjection th=5 then
+        # numProjOptMatches >= nProjOptMatches, LoopClosing.cc:1310-1350)
+        S12_o = lie.Sim3(q_o, t_o, s_o)
+        Scw_o = lie.sim3_compose(S12_o, T2)
+        proj_o = lie.sim3_apply(Scw_o, ms.mp_pos)
+        uvp_o = cam_mod.project_ideal(cam_kf, proj_o)
+        vis_o = (mp_mask & (proj_o[:, 2] > 0.05)
+                 & (uvp_o[:, 0] >= 0) & (uvp_o[:, 0] < self.sys.cfg.width)
+                 & (uvp_o[:, 1] >= 0) & (uvp_o[:, 1] < self.sys.cfg.height))
+        mres_o = M.search_by_projection_frame(
+            uvp_o, jnp.zeros(proj_o.shape[0], jnp.int32),
+            jnp.full(proj_o.shape[0], 5.0), M.unpack_desc(ms.mp_desc),
+            vis_o, ms.kf_feat_uv[kf], ms.kf_feat_level[kf], bits1,
+            ms.kf_feat_valid[kf], level_lo=8, level_hi=8)
+        n_opt = int(np.asarray(mres_o.ok).sum())
+        self.last_verify["n_final"] = n_opt
         if n_opt < cfg.n_proj_opt_matches:
             return None
 
-        S12_o = lie.Sim3(q_o, t_o, s_o)
-        Scw_o = lie.sim3_compose(S12_o, T2)
         return (np.asarray(Scw_o.q), np.asarray(Scw_o.t), float(Scw_o.s))
 
     # ------------------------------------------------------------------

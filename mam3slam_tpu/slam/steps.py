@@ -225,8 +225,10 @@ def triangulate_with_neighbor(ms: S.MapState, kf1, kf2,
 def add_triangulated_points(ms: S.MapState, kf1, kf2, ok, X, feat1, feat2,
                             map_id):
     """Allocate slots for a triangulated batch and wire observations in
-    both keyframes.  Returns (ms, n_dropped) — requests beyond the arena's
-    free capacity are dropped (defined overflow behavior)."""
+    both keyframes.  ``kf2`` may be a scalar or a per-point [F] array (the
+    batched multi-neighbor path).  Returns (ms, n_dropped) — requests
+    beyond the arena's free capacity are dropped (defined overflow
+    behavior)."""
     slots, granted = S.alloc_mp_slots(ms, ok)
     n_dropped = jnp.sum((ok & ~granted).astype(jnp.int32))
     ok = granted
@@ -239,6 +241,11 @@ def add_triangulated_points(ms: S.MapState, kf1, kf2, ok, X, feat1, feat2,
         mp_map=ms.mp_map.at[w].set(jnp.where(ok, map_id, ms.mp_map[w])),
         mp_first_kf=ms.mp_first_kf.at[w].set(
             jnp.where(ok, ms.kf_seq[kf1], ms.mp_first_kf[w])),
+        mp_first_agent=ms.mp_first_agent.at[w].set(
+            jnp.where(ok, ms.kf_agent[kf1], ms.mp_first_agent[w])),
+        mp_first_agent_kf=ms.mp_first_agent_kf.at[w].set(
+            jnp.where(ok, ms.kf_agent_kf_id[kf1],
+                      ms.mp_first_agent_kf[w])),
         mp_ref_kf=ms.mp_ref_kf.at[w].set(
             jnp.where(ok, kf1, ms.mp_ref_kf[w])),
         mp_found=ms.mp_found.at[w].set(jnp.where(ok, 1.0, ms.mp_found[w])),
@@ -249,8 +256,8 @@ def add_triangulated_points(ms: S.MapState, kf1, kf2, ok, X, feat1, feat2,
     F = feat1.shape[0]
     ms = S.mp_add_observation(ms, slots, jnp.full((F,), kf1, jnp.int32),
                               feat1, ok)
-    ms = S.mp_add_observation(ms, slots, jnp.full((F,), kf2, jnp.int32),
-                              feat2, ok)
+    kf2_arr = jnp.broadcast_to(jnp.asarray(kf2, jnp.int32), (F,))
+    ms = S.mp_add_observation(ms, slots, kf2_arr, feat2, ok)
     return ms, n_dropped
 
 
@@ -367,6 +374,31 @@ def build_local_ba_problem(ms: S.MapState, opt_kf_mask,
         cam_params=ms.kf_cam,  # per-KF intrinsics (heterogeneous agents)
         pts=ms.mp_pos, obs=obs, cam_free=cam_free, pt_free=pt_free)
     return prob
+
+
+def compact_ba_problem(prob: ba_mod.BAProblem, cap: int, extra=None):
+    """Compact the [K*F] masked edge list to a static ``cap`` (cumsum +
+    scatter).  A windowed LBA touches only (window + boundary) keyframes'
+    edges, but the dense builder emits the whole arena — every CG
+    Hessian-vector product then sweeps dead edges.  Compaction makes LBA
+    cost scale with the WINDOW, not the arena (8x at max_kf=512,
+    lba_window=16).  Overflow beyond cap drops edges (generous caps keep
+    this theoretical)."""
+    keep = prob.obs.valid
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    idx = jnp.where(keep & (pos < cap), pos, cap)
+
+    def put(src, fill=0):
+        out_shape = (cap + 1,) + src.shape[1:]
+        out = jnp.full(out_shape, fill, src.dtype).at[idx].set(src)
+        return out[:cap]
+
+    obs = ba_mod.Obs(cam=put(prob.obs.cam), pt=put(prob.obs.pt),
+                     uv=put(prob.obs.uv), w=put(prob.obs.w),
+                     valid=put(prob.obs.valid, fill=False))
+    if extra is not None:
+        return prob._replace(obs=obs), put(extra)
+    return prob._replace(obs=obs)
 
 
 def apply_ba_result(ms: S.MapState, res: ba_mod.BAResult, opt_kf_mask,

@@ -196,6 +196,26 @@ def _compiled(cfg: SlamConfig, kind: int):
         return ms, jnp.sum(ok.astype(jnp.int32)), n_drop
 
     @jax.jit
+    def triangulate_multi_step(ms, kf, neighbors, neighbors_ok, map_id):
+        """CreateNewMapPoints against ALL covisible neighbors in ONE
+        device program (the reference's sequential per-neighbor loop,
+        src/LocalMapping.cc:504-828, cost 8 dispatches here before).
+        A feature triangulated by several neighbors keeps its FIRST
+        (best-covisible) neighbor — the sequential semantics."""
+        ok, X, f1, f2 = jax.vmap(
+            lambda k2: steps.triangulate_with_neighbor(ms, kf, k2, kind,
+                                                       s2))(neighbors)
+        ok = ok & neighbors_ok[:, None]
+        first = jnp.argmax(ok, axis=0)                      # [F]
+        any_ok = jnp.any(ok, axis=0)
+        Fidx = jnp.arange(ok.shape[1], dtype=jnp.int32)
+        ms, n_drop = steps.add_triangulated_points(
+            ms, kf, neighbors[first], any_ok, X[first, Fidx],
+            Fidx, f2[first, Fidx], map_id)
+        ms = S.update_covis_for_kf(ms, kf)
+        return ms, jnp.sum(any_ok.astype(jnp.int32)), n_drop
+
+    @jax.jit
     def fuse_step(ms, kf, mp_mask):
         ms, n = steps.fuse_into_kf(ms, kf, mp_mask, kind, W, H, sf)
         ms = S.rebuild_reverse_obs(ms)
@@ -221,6 +241,13 @@ def _compiled(cfg: SlamConfig, kind: int):
         anchor2 = jnp.argmin(seq.at[anchor1].set(S.BIG_SEQ))
         opt_mask = opt_mask.at[anchor1].set(False).at[anchor2].set(False)
         prob = steps.build_local_ba_problem(ms, opt_mask, is2)
+        # compact the arena-sized edge list to the window's edges so CG
+        # cost scales with the window, not max_kf (measured 8x at K=512)
+        edge_cap = min((cfg.lba_window + 48) * cfg.n_feat,
+                       ms.kf_feat_mp.shape[0] * cfg.n_feat)
+        ft_full = jnp.tile(jnp.arange(cfg.n_feat, dtype=jnp.int32),
+                           ms.kf_feat_mp.shape[0])
+        prob, E_ft = steps.compact_ba_problem(prob, edge_cap, extra=ft_full)
         res = ba_mod.run_ba(prob, kind, iters=cfg.lba_iters,
                             cg_iters=cfg.lba_cg_iters)
         res2 = ba_mod.run_ba(
@@ -230,8 +257,6 @@ def _compiled(cfg: SlamConfig, kind: int):
         ms = steps.apply_ba_result(ms, res2, opt_mask, prob.pt_free)
         # drop observations whose edges were classified outliers
         E_kf = prob.obs.cam
-        E_ft = jnp.tile(jnp.arange(ms.kf_feat_mp.shape[1], dtype=jnp.int32),
-                        ms.kf_feat_mp.shape[0])
         drop = prob.obs.valid & ~res2.inlier
         fmp = ms.kf_feat_mp.at[
             jnp.where(drop, E_kf, 0), jnp.where(drop, E_ft, 0)].set(
@@ -264,14 +289,18 @@ def _compiled(cfg: SlamConfig, kind: int):
 
     @jax.jit
     def cull_map_points(ms, current_kf):
-        """MapPointCulling: weak found/visible ratio, or failed to gain
-        observations shortly after creation (agent-recency windows)."""
+        """MapPointCulling scoped to the current KF's creating agent
+        (reference agent-aware recency windows, LocalMapping.cc:488-495:
+        a LocalMapping epoch only culls points ITS agent created, and the
+        recency window counts that agent's own per-agent KF ids — so
+        interleaved agents never age each other's fresh triangulations)."""
+        same_agent = ms.mp_first_agent == ms.kf_agent[current_kf]
         ratio = ms.mp_found / jnp.maximum(ms.mp_visible, 1.0)
-        # age in KF insertions (kf_seq is monotonic; slots are not)
-        age = ms.kf_seq[current_kf] - ms.mp_first_kf
+        # age in THIS agent's KF insertions (per-agent sequential id)
+        age = ms.kf_agent_kf_id[current_kf] - ms.mp_first_agent_kf
         young_dead = (age >= 2) & (age <= 4) & (ms.mp_nobs <= 2)
         weak = (ratio < 0.25) & (ms.mp_visible >= 4)
-        kill = ms.mp_valid & (weak | young_dead)
+        kill = ms.mp_valid & same_agent & (weak | young_dead)
         return S.remove_map_points(ms, kill), jnp.sum(kill.astype(jnp.int32))
 
     @jax.jit
@@ -347,7 +376,9 @@ def _compiled(cfg: SlamConfig, kind: int):
                 global_ba=global_ba,
                 update_found_visible=update_found_visible,
                 init_match=init_match, reconstruct=reconstruct,
-                triangulate_step=triangulate_step, fuse_step=fuse_step,
+                triangulate_step=triangulate_step,
+                triangulate_multi_step=triangulate_multi_step,
+                fuse_step=fuse_step,
                 refresh_stats=refresh_stats, local_ba=local_ba,
                 cull_map_points=cull_map_points,
                 create_initial_map=create_initial_map,
@@ -619,10 +650,14 @@ class SlamSystem:
                                   jnp.asarray(12.0), M.TH_HIGH,
                                   jnp.asarray(0.9))
             n_in_i = int(n_in)
-        if n_in_i < cfg.min_track_inliers_lost and a.ref_kf >= 0:
+        if (n_in_i < cfg.min_track_inliers_lost and a.ref_kf >= 0
+                and a.state == OK):
             # TrackReferenceKeyFrame fallback (reference :2640): BoW match
             # against the reference KF, pose from the LAST pose (not the
-            # possibly-bad motion prediction)
+            # possibly-bad motion prediction).  Only from the OK state —
+            # when RECENTLY_LOST the reference goes straight to
+            # Relocalization (Tracking.cc:1903-1951), which is what
+            # enables cross-map re-entry
             feat_mp_r, q_r, t_r, inlier_r, n_r, n_bow = self.fns[
                 "track_ref_kf"](ms, frame, jnp.asarray(a.ref_kf),
                                 a.q, a.t, a.cam.params)
@@ -705,11 +740,18 @@ class SlamSystem:
         from mam3slam_tpu.solvers import pnp as pnp_mod
 
         srv = self.server
+        if srv.kf_bow_words is None:
+            return False
         ms = self.ms
         bits_f = M.unpack_desc(frame.desc)
         words = bow_mod.quantize(srv.voc, bits_f)
-        vec = bow_mod.bow_vector(srv.voc, words, frame.valid)
-        scores = np.array(bow_mod.l1_scores(vec, jnp.asarray(srv.kf_bow)))
+        uw, vals = bow_mod.sparse_bow_row(
+            srv.voc, np.asarray(words), np.asarray(frame.valid),
+            srv.kf_bow_words.shape[1])
+        q_dense = jnp.asarray(bow_mod.dense_query(srv.voc, uw, vals))
+        scores = np.array(bow_mod.l1_scores_sparse(
+            q_dense, jnp.asarray(srv.kf_bow_words),
+            jnp.asarray(srv.kf_bow_vals)))
         scores[~np.asarray(ms.kf_valid)] = -1
         cands = np.argsort(scores)[::-1][:5]
         for cand in cands:
@@ -856,25 +898,19 @@ class SlamSystem:
         ms = self.ms
         # map point culling
         ms, n_culled = self.fns["cull_map_points"](ms, jnp.asarray(kf))
-        # triangulate with top covisible neighbors
+        # triangulate with ALL top covisible neighbors in one dispatch
         idx, w, ok = S.best_covisible(ms, jnp.asarray(kf),
                                       cfg.n_triangulate_neighbors)
-        idx_np, ok_np = np.asarray(idx), np.asarray(ok)
-        n_new = 0
-        for j in range(len(ok_np)):
-            if not ok_np[j]:
-                continue
-            ms, n, n_drop = self.fns["triangulate_step"](
-                ms, jnp.asarray(kf), jnp.asarray(int(idx_np[j])),
-                jnp.asarray(a.map_id))
-            n_new += int(n)
-            n_drop = int(n_drop)
-            if n_drop:
-                if self.mp_dropped == 0:
-                    self.events.append(
-                        f"MP_ARENA_FULL agent={a.agent_id} dropping "
-                        f"triangulations (raise SlamConfig.max_mp)")
-                self.mp_dropped += n_drop
+        ms, n, n_drop = self.fns["triangulate_multi_step"](
+            ms, jnp.asarray(kf), idx, ok, jnp.asarray(a.map_id))
+        n_new = int(n)
+        n_drop = int(n_drop)
+        if n_drop:
+            if self.mp_dropped == 0:
+                self.events.append(
+                    f"MP_ARENA_FULL agent={a.agent_id} dropping "
+                    f"triangulations (raise SlamConfig.max_mp)")
+            self.mp_dropped += n_drop
         ms = self.fns["refresh_stats"](ms, ms.mp_valid)
         # fuse with neighborhood map points
         local_mask = self.fns["local_mp_mask"](ms, jnp.asarray(kf), 16)

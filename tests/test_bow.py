@@ -41,7 +41,8 @@ def test_quantize_matches_numpy_descent():
     bits = np.unpackbits(d, axis=-1, bitorder="little").astype(np.float32)
     node = np.zeros(len(d), np.int64)
     for lv in range(voc.depth):
-        cents = np.asarray(voc.centroid_bits[lv], np.float32)
+        cents = np.unpackbits(np.asarray(voc.centroid_bits[lv]), axis=-1,
+                              bitorder="little").astype(np.float32)
         for i in range(len(d)):
             ch = cents[node[i] * voc.k:(node[i] + 1) * voc.k]
             dist = np.abs(bits[i][None, :] - ch).sum(axis=1)
