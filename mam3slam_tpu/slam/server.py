@@ -574,6 +574,34 @@ class LoopServer:
         numpy scans and the measurement batch is ONE jitted composite
         (``_batched_rel``) — no O(K^2) host loop (round-1 weakness #4).
         """
+        ei, ej, ew = self._essential_edge_set(ms, in_map,
+                                              exclude_pair=(kf, target_kf))
+        qrel, trel = _batched_rel(ms.kf_q, ms.kf_t, jnp.asarray(ei),
+                                  jnp.asarray(ej))
+
+        # new loop edge: measured S_cur,target = S_corr * T_target^-1
+        T_t = lie.sim3_from_se3(lie.SE3(ms.kf_q[target_kf],
+                                        ms.kf_t[target_kf]))
+        m = lie.sim3_compose(lie.Sim3(
+            jnp.asarray(S_corr.q), jnp.asarray(S_corr.t),
+            jnp.asarray(S_corr.s)), lie.sim3_inverse(T_t))
+
+        E = len(ei) + 1
+        return pgo_mod.PGOEdges(
+            i=jnp.asarray(np.append(ei, target_kf), jnp.int32),
+            j=jnp.asarray(np.append(ej, kf), jnp.int32),
+            q=jnp.concatenate([qrel, m.q[None]]).astype(jnp.float32),
+            t=jnp.concatenate([trel, m.t[None]]).astype(jnp.float32),
+            s=jnp.concatenate([jnp.ones(len(ei)), m.s[None]]).astype(
+                jnp.float32),
+            w=jnp.asarray(np.append(ew, 5.0), jnp.float32),
+            valid=jnp.ones(E, bool))
+
+    def _essential_edge_set(self, ms, in_map, exclude_pair=None):
+        """Vectorized essential-graph edge selection: spanning tree +
+        strong covisibility + historical loop/merge edges, as index/weight
+        numpy arrays (measurements are batched separately by the caller).
+        """
         parent = np.asarray(ms.kf_parent)
         valid = np.asarray(ms.kf_valid) & in_map
 
@@ -596,35 +624,19 @@ class LoopServer:
         lok = np.asarray(ms.loop_valid)
         lok = lok & valid[np.clip(li, 0, len(valid) - 1)] \
             & valid[np.clip(lj, 0, len(valid) - 1)]
-        # the new edge is appended separately — drop a stored duplicate
-        lok = lok & ~(((li == target_kf) & (lj == kf))
-                      | ((li == kf) & (lj == target_kf)))
+        if exclude_pair is not None:
+            # the caller appends a fresh measured edge for this pair —
+            # drop the stored duplicate
+            kf, target_kf = exclude_pair
+            lok = lok & ~(((li == target_kf) & (lj == kf))
+                          | ((li == kf) & (lj == target_kf)))
         i_loop, j_loop = li[lok], lj[lok]
 
         ei = np.concatenate([i_tree, i_cov, i_loop]).astype(np.int32)
         ej = np.concatenate([j_tree, j_cov, j_loop]).astype(np.int32)
-        qrel, trel = _batched_rel(ms.kf_q, ms.kf_t, jnp.asarray(ei),
-                                  jnp.asarray(ej))
         ew = np.ones(len(ei), np.float32)
         ew[len(i_tree) + len(i_cov):] = 5.0  # loop edges weighted up
-
-        # new loop edge: measured S_cur,target = S_corr * T_target^-1
-        T_t = lie.sim3_from_se3(lie.SE3(ms.kf_q[target_kf],
-                                        ms.kf_t[target_kf]))
-        m = lie.sim3_compose(lie.Sim3(
-            jnp.asarray(S_corr.q), jnp.asarray(S_corr.t),
-            jnp.asarray(S_corr.s)), lie.sim3_inverse(T_t))
-
-        E = len(ei) + 1
-        return pgo_mod.PGOEdges(
-            i=jnp.asarray(np.append(ei, target_kf), jnp.int32),
-            j=jnp.asarray(np.append(ej, kf), jnp.int32),
-            q=jnp.concatenate([qrel, m.q[None]]).astype(jnp.float32),
-            t=jnp.concatenate([trel, m.t[None]]).astype(jnp.float32),
-            s=jnp.concatenate([jnp.ones(len(ei)), m.s[None]]).astype(
-                jnp.float32),
-            w=jnp.asarray(np.append(ew, 5.0), jnp.float32),
-            valid=jnp.ones(E, bool))
+        return ei, ej, ew
 
     # ------------------------------------------------------------------
     def merge_maps(self, agent_id: int, kf: int, h: Hypothesis):
@@ -713,16 +725,25 @@ class LoopServer:
                     a.q = lie.quat_normalize(T_an.q)
                     a.t = T_an.t / jnp.maximum(T_an.s, 1e-9)
 
-        # weld: fuse duplicate points around the seam, refresh, local BA
+        # weld: fuse duplicate points around the seam, refresh, then the
+        # merge-welding BA (adjust = absorbed-side window, fix =
+        # merge-target side; reference src/Optimizer.cc:3505)
         local_mask = sysm.fns["local_mp_mask"](sysm.ms, jnp.asarray(
             h.target_kf), 16)
         ms2, _ = sysm.fns["fuse_step"](sysm.ms, jnp.asarray(kf),
                                        local_mask)
         sysm.ms = sysm.fns["refresh_stats"](ms2, ms2.mp_valid)
-        sysm.ms = sysm.fns["local_ba"](sysm.ms, jnp.asarray(kf))
-        # full-map BA after the weld (reference MergeLocalMulti optional
-        # GBA :2838-2845) — pulls the absorbed map's remainder into global
-        # consistency; the welding LBA alone only fixes the seam window.
+        in_cur_host = np.asarray(in_cur)
+        q_pre, t_pre = sysm.ms.kf_q, sysm.ms.kf_t
+        sysm.ms, weld_mask = sysm.fns["welding_ba"](
+            sysm.ms, jnp.asarray(kf), jnp.asarray(in_cur_host))
+        # merge PGO overload: propagate the weld through the absorbed
+        # map's remainder (reference src/Optimizer.cc:1785)
+        self._merge_pgo(in_cur_host, np.asarray(weld_mask), q_pre, t_pre,
+                        tgt_map)
+        # optional full-map BA after the weld (reference MergeLocalMulti
+        # GBA :2838-2845), only while the merged map is small — the
+        # welding BA + merge PGO already make the map consistent.
         n_in_tgt = int((np.asarray(sysm.ms.kf_valid)
                         & (np.asarray(sysm.ms.kf_map) == tgt_map)).sum())
         if n_in_tgt < self.cfg.max_kf_for_gba:
@@ -732,3 +753,52 @@ class LoopServer:
             f"kf={kf} target={h.target_kf} "
             f"ts={float(self.sys.ms.kf_ts[kf]):.6f}")
         self.timers.add("MM", (_time.perf_counter() - _t0) * 1e3)
+
+    def _merge_pgo(self, in_cur, weld_mask, q_pre, t_pre, tgt_map):
+        """Merge overload of the essential-graph PGO (reference
+        Optimizer::OptimizeEssentialGraph merge variant,
+        src/Optimizer.cc:1785): after the welding BA has moved the seam
+        window, distribute that adjustment through the absorbed map's
+        REMAINDER.  Fixed = every original target-map KF plus the welded
+        window (already locally optimal); free = the absorbed map's
+        remaining KFs.  Edge measurements are relative Sim3s at the
+        PRE-weld estimates (the reference's NonCorrectedSim3), so the
+        residuals carry the window's motion out to the remainder.  This is
+        what keeps a 500-KF merge cheap where a full GBA would not be."""
+        sysm = self.sys
+        ms = sysm.ms
+        K = ms.kf_valid.shape[0]
+        valid = np.asarray(ms.kf_valid)
+        merged = valid & (np.asarray(ms.kf_map) == tgt_map)
+        fixed = merged & (~in_cur | weld_mask)
+        free = merged & ~fixed
+        if not free.any() or not fixed.any():
+            return
+        ei, ej, ew = self._essential_edge_set(ms, merged)
+        if len(ei) == 0:
+            return
+        qrel, trel = _batched_rel(q_pre, t_pre, jnp.asarray(ei),
+                                  jnp.asarray(ej))
+        edges = pgo_mod.PGOEdges(
+            i=jnp.asarray(ei), j=jnp.asarray(ej),
+            q=qrel.astype(jnp.float32), t=trel.astype(jnp.float32),
+            s=jnp.ones(len(ei), jnp.float32), w=jnp.asarray(ew),
+            valid=jnp.ones(len(ei), bool))
+        fixed_j = jnp.asarray(fixed | ~merged)
+        q_n, t_n, s_n = pgo_mod.optimize_essential_graph(
+            ms.kf_q, ms.kf_t, jnp.ones(K), fixed_j, edges, iters=10)
+        # correct remainder points through their (free) reference KFs;
+        # welded-window points were already moved by the welding BA
+        ref_free = free[np.clip(np.asarray(ms.mp_ref_kf), 0, K - 1)]
+        mp_mask = jnp.asarray(np.asarray(ms.mp_valid)
+                              & (np.asarray(ms.mp_map) == tgt_map)
+                              & ref_free)
+        new_pos = pgo_mod.correct_points_by_ref(
+            ms.mp_pos, ms.mp_ref_kf, mp_mask,
+            ms.kf_q, ms.kf_t, jnp.ones(K), q_n, t_n, s_n)
+        upd = jnp.asarray(free)
+        sysm.ms = ms._replace(
+            kf_q=jnp.where(upd[:, None], lie.quat_normalize(q_n), ms.kf_q),
+            kf_t=jnp.where(upd[:, None],
+                           t_n / jnp.maximum(s_n[:, None], 1e-9), ms.kf_t),
+            mp_pos=new_pos)

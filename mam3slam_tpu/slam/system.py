@@ -226,20 +226,10 @@ def _compiled(cfg: SlamConfig, kind: int):
     def refresh_stats(ms, mp_mask):
         return S.refresh_mp_stats(ms, mp_mask, sf)
 
-    @jax.jit
-    def local_ba(ms, center_kf):
-        idx, w, ok = S.best_covisible(ms, center_kf, cfg.lba_window)
-        opt_mask = jnp.zeros((ms.kf_valid.shape[0],), bool).at[
-            jnp.where(ok, idx, center_kf)].set(True).at[center_kf].set(True)
-        opt_mask = opt_mask & ms.kf_valid
-        # keep the center KF's map origin (its two OLDEST keyframes by
-        # kf_seq — slots recycle) fixed — per-map gauge anchors (the
-        # reference fixes the map-origin KFs)
-        in_map = ms.kf_valid & (ms.kf_map == ms.kf_map[center_kf])
-        seq = jnp.where(in_map, ms.kf_seq, S.BIG_SEQ)
-        anchor1 = jnp.argmin(seq)
-        anchor2 = jnp.argmin(seq.at[anchor1].set(S.BIG_SEQ))
-        opt_mask = opt_mask.at[anchor1].set(False).at[anchor2].set(False)
+    def _lba_core(ms, opt_mask):
+        """Shared windowed-BA body: assemble the masked problem, compact
+        the edge list, robust LM + inlier-only polish, write back, drop
+        outlier observations."""
         prob = steps.build_local_ba_problem(ms, opt_mask, is2)
         # compact the arena-sized edge list to the window's edges so CG
         # cost scales with the window, not max_kf (measured 8x at K=512)
@@ -266,6 +256,36 @@ def _compiled(cfg: SlamConfig, kind: int):
         ms = ms._replace(kf_feat_mp=fmp)
         ms = S.rebuild_reverse_obs(ms)
         return ms
+
+    def _window_mask(ms, center_kf):
+        idx, w, ok = S.best_covisible(ms, center_kf, cfg.lba_window)
+        opt_mask = jnp.zeros((ms.kf_valid.shape[0],), bool).at[
+            jnp.where(ok, idx, center_kf)].set(True).at[center_kf].set(True)
+        return opt_mask & ms.kf_valid
+
+    @jax.jit
+    def local_ba(ms, center_kf):
+        opt_mask = _window_mask(ms, center_kf)
+        # keep the center KF's map origin (its two OLDEST keyframes by
+        # kf_seq — slots recycle) fixed — per-map gauge anchors (the
+        # reference fixes the map-origin KFs)
+        in_map = ms.kf_valid & (ms.kf_map == ms.kf_map[center_kf])
+        seq = jnp.where(in_map, ms.kf_seq, S.BIG_SEQ)
+        anchor1 = jnp.argmin(seq)
+        anchor2 = jnp.argmin(seq.at[anchor1].set(S.BIG_SEQ))
+        opt_mask = opt_mask.at[anchor1].set(False).at[anchor2].set(False)
+        return _lba_core(ms, opt_mask)
+
+    @jax.jit
+    def welding_ba(ms, center_kf, adjust_side):
+        """Merge-welding BA (reference merge overload of
+        Optimizer::LocalBundleAdjustment, src/Optimizer.cc:3505): the
+        covisible window of the merging KF restricted to ``adjust_side``
+        (the absorbed map's keyframes) is optimized; merge-target-side
+        keyframes observing the fused points stay fixed and provide the
+        gauge — exactly the reference's vpAdjustKF vs vpFixedKF split."""
+        opt_mask = _window_mask(ms, center_kf) & adjust_side
+        return _lba_core(ms, opt_mask), opt_mask
 
     @jax.jit
     def global_ba(ms, map_id):
@@ -380,6 +400,7 @@ def _compiled(cfg: SlamConfig, kind: int):
                 triangulate_multi_step=triangulate_multi_step,
                 fuse_step=fuse_step,
                 refresh_stats=refresh_stats, local_ba=local_ba,
+                welding_ba=welding_ba,
                 cull_map_points=cull_map_points,
                 create_initial_map=create_initial_map,
                 initial_gba_and_rescale=initial_gba_and_rescale,
