@@ -735,12 +735,12 @@ class LoopServer:
         sysm.ms = sysm.fns["refresh_stats"](ms2, ms2.mp_valid)
         in_cur_host = np.asarray(in_cur)
         q_pre, t_pre = sysm.ms.kf_q, sysm.ms.kf_t
-        sysm.ms, weld_mask = sysm.fns["welding_ba"](
+        sysm.ms, weld_mask, weld_pts = sysm.fns["welding_ba"](
             sysm.ms, jnp.asarray(kf), jnp.asarray(in_cur_host))
         # merge PGO overload: propagate the weld through the absorbed
         # map's remainder (reference src/Optimizer.cc:1785)
-        self._merge_pgo(in_cur_host, np.asarray(weld_mask), q_pre, t_pre,
-                        tgt_map)
+        self._merge_pgo(in_cur_host, np.asarray(weld_mask),
+                        np.asarray(weld_pts), q_pre, t_pre, tgt_map)
         # optional full-map BA after the weld (reference MergeLocalMulti
         # GBA :2838-2845), only while the merged map is small — the
         # welding BA + merge PGO already make the map consistent.
@@ -754,7 +754,8 @@ class LoopServer:
             f"ts={float(self.sys.ms.kf_ts[kf]):.6f}")
         self.timers.add("MM", (_time.perf_counter() - _t0) * 1e3)
 
-    def _merge_pgo(self, in_cur, weld_mask, q_pre, t_pre, tgt_map):
+    def _merge_pgo(self, in_cur, weld_mask, weld_pts, q_pre, t_pre,
+                   tgt_map):
         """Merge overload of the essential-graph PGO (reference
         Optimizer::OptimizeEssentialGraph merge variant,
         src/Optimizer.cc:1785): after the welding BA has moved the seam
@@ -788,11 +789,14 @@ class LoopServer:
         q_n, t_n, s_n = pgo_mod.optimize_essential_graph(
             ms.kf_q, ms.kf_t, jnp.ones(K), fixed_j, edges, iters=10)
         # correct remainder points through their (free) reference KFs;
-        # welded-window points were already moved by the welding BA
+        # points the welding BA already optimized (weld_pts — the
+        # reference's spLocalWindowMPs moved before the remainder update,
+        # LoopClosing.cc:2583,2695) are excluded even when their ref KF is
+        # in the free remainder, else they would be displaced twice
         ref_free = free[np.clip(np.asarray(ms.mp_ref_kf), 0, K - 1)]
         mp_mask = jnp.asarray(np.asarray(ms.mp_valid)
                               & (np.asarray(ms.mp_map) == tgt_map)
-                              & ref_free)
+                              & ref_free & ~np.asarray(weld_pts))
         new_pos = pgo_mod.correct_points_by_ref(
             ms.mp_pos, ms.mp_ref_kf, mp_mask,
             ms.kf_q, ms.kf_t, jnp.ones(K), q_n, t_n, s_n)
@@ -802,3 +806,9 @@ class LoopServer:
             kf_t=jnp.where(upd[:, None],
                            t_n / jnp.maximum(s_n[:, None], 1e-9), ms.kf_t),
             mp_pos=new_pos)
+        # refresh normals / view-distance bounds of every point the weld or
+        # the remainder transport moved (reference UpdateNormalAndDepth
+        # after the remainder correction; recomputing from geometry also
+        # absorbs the Sim3 scale s_n into the bounds)
+        sysm.ms = sysm.fns["refresh_stats"](
+            sysm.ms, jnp.asarray(mp_mask | jnp.asarray(weld_pts)))

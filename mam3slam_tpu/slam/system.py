@@ -240,14 +240,31 @@ def _compiled(cfg: SlamConfig, kind: int):
         prob, E_ft = steps.compact_ba_problem(prob, edge_cap, extra=ft_full)
         res = ba_mod.run_ba(prob, kind, iters=cfg.lba_iters,
                             cg_iters=cfg.lba_cg_iters)
+        # inlier-floor guard: a badly initialized window classifies (almost)
+        # every edge as outlier; polishing on an empty edge set and then
+        # dropping 100% of the observations would destroy the region.  When
+        # the surviving-inlier fraction is below the floor, keep the full
+        # robust edge set for the polish and skip the observation drop
+        # entirely (the reference keeps edges and retries next epoch,
+        # src/Optimizer.cc:3505 area never empties a window).
+        n_valid = jnp.sum(prob.obs.valid.astype(jnp.int32))
+        frac_in = (jnp.sum(res.inlier.astype(jnp.int32))
+                   / jnp.maximum(n_valid, 1).astype(jnp.float32))
+        healthy = frac_in >= 0.4
+        polish_mask = jnp.where(healthy, res.inlier, prob.obs.valid)
+        # robust=True is exact on true inliers (chi2<=delta2 => Huber w=1),
+        # and keeps the unhealthy branch from diverging
         res2 = ba_mod.run_ba(
             prob._replace(cam_q=res.cam_q, cam_t=res.cam_t, pts=res.pts),
             kind, iters=4, cg_iters=cfg.lba_cg_iters,
-            edge_mask=res.inlier, robust=False)
+            edge_mask=polish_mask, robust=True)
         ms = steps.apply_ba_result(ms, res2, opt_mask, prob.pt_free)
-        # drop observations whose edges were classified outliers
+        # drop observations whose edges were classified outliers — gated on
+        # the final inlier fraction clearing the floor
+        frac_fin = (jnp.sum(res2.inlier.astype(jnp.int32))
+                    / jnp.maximum(n_valid, 1).astype(jnp.float32))
         E_kf = prob.obs.cam
-        drop = prob.obs.valid & ~res2.inlier
+        drop = prob.obs.valid & ~res2.inlier & (frac_fin >= 0.4)
         fmp = ms.kf_feat_mp.at[
             jnp.where(drop, E_kf, 0), jnp.where(drop, E_ft, 0)].set(
             jnp.where(drop, S.NO_MP,
@@ -255,7 +272,7 @@ def _compiled(cfg: SlamConfig, kind: int):
                                     jnp.where(drop, E_ft, 0)]))
         ms = ms._replace(kf_feat_mp=fmp)
         ms = S.rebuild_reverse_obs(ms)
-        return ms
+        return ms, prob.pt_free
 
     def _window_mask(ms, center_kf):
         idx, w, ok = S.best_covisible(ms, center_kf, cfg.lba_window)
@@ -274,7 +291,7 @@ def _compiled(cfg: SlamConfig, kind: int):
         anchor1 = jnp.argmin(seq)
         anchor2 = jnp.argmin(seq.at[anchor1].set(S.BIG_SEQ))
         opt_mask = opt_mask.at[anchor1].set(False).at[anchor2].set(False)
-        return _lba_core(ms, opt_mask)
+        return _lba_core(ms, opt_mask)[0]
 
     @jax.jit
     def welding_ba(ms, center_kf, adjust_side):
@@ -283,9 +300,13 @@ def _compiled(cfg: SlamConfig, kind: int):
         covisible window of the merging KF restricted to ``adjust_side``
         (the absorbed map's keyframes) is optimized; merge-target-side
         keyframes observing the fused points stay fixed and provide the
-        gauge — exactly the reference's vpAdjustKF vs vpFixedKF split."""
+        gauge — exactly the reference's vpAdjustKF vs vpFixedKF split.
+        Also returns the welded point mask (the reference's
+        spLocalWindowMPs) so _merge_pgo can exclude already-optimized
+        points from the remainder Sim3 transport."""
         opt_mask = _window_mask(ms, center_kf) & adjust_side
-        return _lba_core(ms, opt_mask), opt_mask
+        ms, pt_free = _lba_core(ms, opt_mask)
+        return ms, opt_mask, pt_free
 
     @jax.jit
     def global_ba(ms, map_id):

@@ -12,6 +12,8 @@ from scipy.spatial.transform import Rotation as Rsc
 from mam3slam_tpu import api
 from mam3slam_tpu.slam.system import OK, SlamConfig
 
+pytestmark = pytest.mark.slow  # full-suite tier; smoke = -m "not slow"
+
 W, H = 640, 480
 FX = FY = 320.0
 CX, CY = 320.0, 240.0

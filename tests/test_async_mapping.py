@@ -13,6 +13,10 @@ from test_slam_e2e import (FX, FY, CX, CY, H, N_FEAT, W, SyntheticWorld,
                            make_trajectory, umeyama_align)
 from test_server_merge import arc_trajectory
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-suite tier; smoke = -m "not slow"
+
 
 def _cfg(**kw):
     base = dict(width=W, height=H, n_feat=N_FEAT, max_kf=64,

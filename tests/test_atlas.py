@@ -14,6 +14,10 @@ from mam3slam_tpu.slam.system import (LOST, NOT_INITIALIZED, OK,
 from test_slam_e2e import (FX, FY, CX, CY, H, N_FEAT, W, SyntheticWorld)
 from test_server_merge import arc_trajectory
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-suite tier; smoke = -m "not slow"
+
 
 def empty_frame():
     return steps.FrameObs(

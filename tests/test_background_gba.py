@@ -15,6 +15,10 @@ from mam3slam_tpu.slam.system import OK
 
 from test_slam_e2e import SyntheticWorld, make_trajectory, run_slam
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-suite tier; smoke = -m "not slow"
+
 
 def _rel_se3(q_a, t_a, q_b, t_b):
     """T_a * T_b^-1 as (q, t) numpy."""

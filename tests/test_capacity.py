@@ -19,6 +19,8 @@ from mam3slam_tpu.slam.system import (MapCapacityError, SlamConfig,
 from test_slam_e2e import FX, FY, CX, CY, H, N_FEAT, W, SyntheticWorld, \
     make_trajectory
 
+pytestmark = pytest.mark.slow  # full-suite tier; smoke = -m "not slow"
+
 
 def small_system(max_kf=8, max_mp=512, max_maps=None, **kw):
     cam = cameras.make_pinhole(FX, FY, CX, CY)

@@ -12,6 +12,10 @@ from mam3slam_tpu.slam.system import OK, SlamConfig, SlamSystem
 from test_slam_e2e import (FX, FY, CX, CY, H, N_FEAT, W, SyntheticWorld)
 from test_server_merge import arc_trajectory
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-suite tier; smoke = -m "not slow"
+
 
 def _cfg():
     return SlamConfig(width=W, height=H, n_feat=N_FEAT, max_kf=64,

@@ -14,6 +14,10 @@ from test_slam_e2e import FX, FY, CX, CY, H, N_FEAT, W, SyntheticWorld
 from test_server_merge import arc_trajectory
 from test_atlas import empty_frame
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-suite tier; smoke = -m "not slow"
+
 
 def test_agent_relocalizes_into_other_agents_map():
     world = SyntheticWorld(n_mp=1400, seed=9)

@@ -11,6 +11,10 @@ from mam3slam_tpu.solvers import ba
 
 from test_ba import make_scene, _build_problem, _reproj_rms, CAM_PARAMS
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-suite tier; smoke = -m "not slow"
+
 
 def _mesh(n=8, axis="edge"):
     devs = np.array(jax.devices()[:n])

@@ -16,6 +16,10 @@ from mam3slam_tpu.solvers import ba as ba_mod
 from test_slam_e2e import (FX, FY, CX, CY, H, N_FEAT, W, SyntheticWorld)
 from test_server_merge import arc_trajectory
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-suite tier; smoke = -m "not slow"
+
 
 def test_four_agents_merge_and_distributed_gba():
     world = SyntheticWorld(n_mp=2000, seed=11)

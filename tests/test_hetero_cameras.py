@@ -14,6 +14,10 @@ from mam3slam_tpu.slam.system import OK, SlamConfig, SlamSystem
 from test_slam_e2e import H, N_FEAT, W, SyntheticWorld, umeyama_align
 from test_server_merge import arc_trajectory
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-suite tier; smoke = -m "not slow"
+
 CAM0 = dict(fx=300.0, fy=300.0, cx=320.0, cy=240.0)
 CAM1 = dict(fx=340.0, fy=335.0, cx=316.0, cy=245.0)  # distinctly different
 

@@ -6,6 +6,10 @@ from scipy.spatial.transform import Rotation as Rsc
 
 from mam3slam_tpu.solvers import imu
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-suite tier; smoke = -m "not slow"
+
 CAL = imu.ImuCalib(sigma_g=jnp.asarray(1.7e-4), sigma_a=jnp.asarray(2e-3),
                    walk_g=jnp.asarray(1.9e-5), walk_a=jnp.asarray(3e-3))
 

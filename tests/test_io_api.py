@@ -8,6 +8,8 @@ import pytest
 from mam3slam_tpu.io import settings as S
 from mam3slam_tpu.io import writers
 
+pytestmark = pytest.mark.slow  # full-suite tier; smoke = -m "not slow"
+
 PINHOLE_YAML = """%YAML:1.0
 File.version: "1.0"
 Camera.type: "PinHole"

@@ -73,7 +73,12 @@ def test_so3_exp_quat_consistent():
 
 
 def test_left_jacobian_inverse():
-    phi = RNG.normal(size=(50, 3)).astype(np.float32) * 2.0
+    # own generator (module RNG order is not stable under pytest-xdist) and
+    # rotation magnitudes bounded away from the genuine 2*pi singularity
+    rng = np.random.default_rng(7)
+    phi = rng.normal(size=(50, 3)).astype(np.float32) * 2.0
+    nrm = np.linalg.norm(phi, axis=1, keepdims=True)
+    phi = np.where(nrm > 5.5, phi * (5.5 / nrm), phi).astype(np.float32)
     phi[0] = 0
     J = np.asarray(lie.so3_left_jacobian(jnp.asarray(phi)))
     Jinv = np.asarray(lie.so3_left_jacobian_inv(jnp.asarray(phi)))

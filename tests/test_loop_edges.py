@@ -19,6 +19,10 @@ from mam3slam_tpu.slam.system import OK, SlamConfig, SlamSystem
 from test_slam_e2e import FX, FY, CX, CY, H, N_FEAT, W, umeyama_align
 from test_server_loop import RingWorld, circle_tour
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-suite tier; smoke = -m "not slow"
+
 
 def test_add_remove_loop_edges():
     cfg = S.MapConfig(max_kf=8, max_mp=64, n_feat=8, max_obs=4,

@@ -9,6 +9,8 @@ import pytest
 
 from mam3slam_tpu.io import euroc
 
+pytestmark = pytest.mark.slow  # full-suite tier; smoke = -m "not slow"
+
 RNG = np.random.default_rng(51)
 
 

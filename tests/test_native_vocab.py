@@ -8,6 +8,8 @@ import pytest
 
 from mam3slam_tpu.ops import bow
 
+pytestmark = pytest.mark.slow  # full-suite tier; smoke = -m "not slow"
+
 
 def _clustered_descs(n_clusters=64, per=80, seed=0):
     """Descriptors with real cluster structure (anchor + few bit flips)."""

@@ -6,6 +6,10 @@ import jax.numpy as jnp
 
 from mam3slam_tpu.ops import orb
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-suite tier; smoke = -m "not slow"
+
 RNG = np.random.default_rng(7)
 
 

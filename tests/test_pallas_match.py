@@ -7,6 +7,10 @@ import jax.numpy as jnp
 from mam3slam_tpu.ops import matching as M
 from mam3slam_tpu.ops import pallas_match as PM
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-suite tier; smoke = -m "not slow"
+
 RNG = np.random.default_rng(41)
 
 

@@ -7,6 +7,10 @@ import jax.numpy as jnp
 import mam3slam_tpu.ops.orb as O
 from mam3slam_tpu.ops import pallas_orb_desc as POD
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-suite tier; smoke = -m "not slow"
+
 RNG = np.random.default_rng(11)
 
 

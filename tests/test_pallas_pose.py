@@ -13,6 +13,10 @@ from mam3slam_tpu.geometry import cameras, lie
 from mam3slam_tpu.ops import pallas_pose
 from mam3slam_tpu.solvers import ba
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-suite tier; smoke = -m "not slow"
+
 RNG = np.random.default_rng(7)
 
 

@@ -8,6 +8,10 @@ from scipy.spatial.transform import Rotation as Rsc
 from mam3slam_tpu.geometry import cameras, lie
 from mam3slam_tpu.solvers import pnp
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-suite tier; smoke = -m "not slow"
+
 CAM = cameras.make_pinhole(300.0, 300.0, 320.0, 240.0)
 RNG = np.random.default_rng(23)
 

@@ -16,6 +16,8 @@ from mam3slam_tpu.io import render, writers
 from mam3slam_tpu.slam.server import ServerConfig
 from mam3slam_tpu.slam.system import OK, SlamConfig
 
+pytestmark = pytest.mark.slow  # full-suite tier; smoke = -m "not slow"
+
 W, H = 640, 480
 CAM = render.RenderCam(width=W, height=H)
 

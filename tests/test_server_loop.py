@@ -11,6 +11,10 @@ from mam3slam_tpu.slam.system import OK, SlamConfig, SlamSystem
 
 from test_slam_e2e import FX, FY, CX, CY, H, N_FEAT, W, umeyama_align
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-suite tier; smoke = -m "not slow"
+
 
 class RingWorld:
     """Landmarks in a ring band; camera tours a circle looking outward."""

@@ -13,6 +13,10 @@ from mam3slam_tpu.slam.system import OK, SlamConfig, SlamSystem
 from test_slam_e2e import (FX, FY, CX, CY, H, N_FEAT, W, SyntheticWorld,
                            umeyama_align)
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-suite tier; smoke = -m "not slow"
+
 
 def arc_trajectory(n, start_x=0.0, step=0.045):
     poses = []

@@ -7,6 +7,10 @@ from scipy.spatial.transform import Rotation as Rsc
 
 from mam3slam_tpu.solvers import twoview
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-suite tier; smoke = -m "not slow"
+
 K = np.array([[458.0, 0, 376.0], [0, 458.0, 240.0], [0, 0, 1.0]], np.float32)
 RNG = np.random.default_rng(3)
 

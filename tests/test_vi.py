@@ -11,6 +11,10 @@ from mam3slam_tpu.solvers import ba as ba_mod
 from mam3slam_tpu.solvers import imu as imu_mod
 from mam3slam_tpu.solvers import vi as vi_mod
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-suite tier; smoke = -m "not slow"
+
 G = imu_mod.GRAVITY
 FX = FY = 300.0
 CX, CY = 320.0, 240.0

@@ -15,6 +15,8 @@ import pytest
 
 from mam3slam_tpu.ops import bow
 
+pytestmark = pytest.mark.slow  # full-suite tier; smoke = -m "not slow"
+
 RNG = np.random.default_rng(7)
 
 

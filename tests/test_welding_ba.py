@@ -11,13 +11,20 @@ from mam3slam_tpu.geometry import cameras, lie
 from mam3slam_tpu.mapstate import state as S
 from mam3slam_tpu.slam.system import SlamConfig, _compiled
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-suite tier; smoke = -m "not slow"
+
 FX, FY, CX, CY = 458.0, 458.0, 376.0, 240.0
 W, H = 752, 480
 
 
 def _pose_for(ang, radius=2.5):
     c, s = np.cos(ang), np.sin(ang)
-    R = np.stack([np.array([-s, 0.0, c]), np.array([0.0, 1.0, 0.0]),
+    # proper rotation (det=+1): camera on a circle of `radius`, optical
+    # axis through the origin (a reflection here would make quaternion
+    # state and uv synthesis disagree)
+    R = np.stack([np.array([s, 0.0, -c]), np.array([0.0, 1.0, 0.0]),
                   np.array([c, 0.0, s])]).astype(np.float32)
     C = np.array([radius * c, 0.0, radius * s], np.float32)
     return R, (-R @ C).astype(np.float32)
@@ -105,10 +112,12 @@ def test_welding_ba_fixes_seam_keeps_target_side_fixed():
     t_before = np.asarray(ms.kf_t).copy()
     err0 = _reproj_rmse(ms, [2, 3], cam)
 
-    ms2, opt_mask = fns["welding_ba"](ms, jnp.asarray(3),
-                                      jnp.asarray(adjust))
+    ms2, opt_mask, weld_pts = fns["welding_ba"](ms, jnp.asarray(3),
+                                                jnp.asarray(adjust))
     opt_mask = np.asarray(opt_mask)
     assert opt_mask[2] and opt_mask[3]
+    # the welded-point mask covers the window's points (spLocalWindowMPs)
+    assert np.asarray(weld_pts)[:96].all()
     assert not opt_mask[0] and not opt_mask[1]
 
     # merge-target side bit-exactly fixed (the reference's vpFixedKF)
@@ -130,8 +139,8 @@ def test_welding_ba_no_adjust_side_noop():
     target side)."""
     ms, cfg, cam, fns, pts, truth = _build_welded_state()
     adjust = np.zeros(cfg.max_kf, bool)
-    ms2, opt_mask = fns["welding_ba"](ms, jnp.asarray(3),
-                                      jnp.asarray(adjust))
+    ms2, opt_mask, _ = fns["welding_ba"](ms, jnp.asarray(3),
+                                         jnp.asarray(adjust))
     assert not np.asarray(opt_mask).any()
     np.testing.assert_array_equal(np.asarray(ms2.kf_q), np.asarray(ms.kf_q))
     np.testing.assert_array_equal(np.asarray(ms2.kf_t), np.asarray(ms.kf_t))
