@@ -179,8 +179,10 @@ def _synthetic_arena(n_kf=64, n_pt=12288, n_feat=512, seed=0):
         ang = 2 * np.pi * k / n_kf
         c, s = np.cos(ang), np.sin(ang)
         C = np.array([2.5 * c, 0.0, 2.5 * s], np.float32)
-        # rows: x=tangent, y=down, z=outward radial
-        R = np.stack([np.array([-s, 0.0, c]), np.array([0.0, 1.0, 0.0]),
+        # rows: x=tangent, y=down, z=outward radial — det(R)=+1 (a
+        # reflection here would make the stored quaternions disagree with
+        # the synthesized uv and turn every BA edge into an outlier)
+        R = np.stack([np.array([s, 0.0, -c]), np.array([0.0, 1.0, 0.0]),
                       np.array([c, 0.0, s])]).astype(np.float32)
         t = (-R @ C).astype(np.float32)
         pc = pts @ R.T + t
@@ -254,7 +256,7 @@ def backend_stage_bench():
     qs, ts = [], []
     for a in ang:
         c, s = np.cos(a), np.sin(a)
-        R = np.stack([np.array([-s, 0.0, c]), np.array([0.0, 1.0, 0.0]),
+        R = np.stack([np.array([s, 0.0, -c]), np.array([0.0, 1.0, 0.0]),
                       np.array([c, 0.0, s])]).astype(np.float32)
         C = np.array([2.5 * c, 0.0, 2.5 * s], np.float32)
         qs.append(np.asarray(lie.quat_from_matrix(jnp.asarray(R))))

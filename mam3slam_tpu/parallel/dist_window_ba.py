@@ -1,0 +1,402 @@
+"""Distributed dense window BA: owner-partitioned Schur over a mesh.
+
+Multi-chip form of ``solvers/ba_window.py`` (SURVEY.md §2.6 "BA reductions
+-> psum over ICI", §2.8 "Schur-block parallelism"; BASELINE.md 4-agent /
+2-host scaling target).  The round-2 edge-sharded solver replicated ALL
+vertex state and psum'd arena-sized arrays every CG step — every device
+re-did the per-point Schur elimination, so adding devices added work.
+Here the partition follows the data:
+
+* **points are owner-partitioned** along the mesh axis: each device holds
+  ``Pw/n`` points with their point-major observation rows and performs
+  their 3x3 Schur elimination (``Hpp``, ``g_p``, ``Hpp^-1``) exactly once.
+* **cameras are sharded for edge work, replicated for state**: the
+  camera-major edge grid is split row-wise, so ``Hcc``/``g_c``/``W z``
+  reductions are local; the (tiny) ``[Kc, 6]`` camera vectors of the CG
+  iteration are replicated so control flow is identical on every device.
+* free-camera edges are linearized twice (once by the camera's owner for
+  the reduced system, once by the point's owner for the elimination) —
+  the standard halo duplication; both start from bit-identical replicated
+  camera state and the all-gathered point block.
+
+Communication per CG iteration: ``all_gather`` of ``z`` (``[Pw, 3]``, the
+eliminated point increments) and of the partial Schur products
+(``[Kc, 6]``).  Per LM iteration: ``all_gather`` of the point block +
+``Hpp^-1`` and a scalar ``psum`` for the robust cost.  Everything else is
+local — per-device work is O(E/n + Pw/n + Kc), so the total work stays
+constant as devices are added (the round-2 solver's was O(E/n + Pw + Kc)
+per device *per CG step*).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from mam3slam_tpu.geometry import lie
+from mam3slam_tpu.solvers import ba_window as bw
+
+CHI2 = bw.CHI2_MONO
+
+
+# ---------------------------------------------------------------------------
+# edge list -> WindowProblem (host-side; for drivers/tests that have a
+# BAProblem-style edge list rather than a MapState)
+# ---------------------------------------------------------------------------
+
+def window_problem_from_edges(cam_q, cam_t, cam_params, pts, obs_cam,
+                              obs_pt, obs_uv, obs_w, cam_free, pt_free,
+                              max_obs: int = 24, feat_cap: int = None):
+    """Group a flat observation list into the dense two-view layout.
+
+    Host-side numpy (problem construction, not the hot path).  Cameras
+    keep their index (all cams are "in window"; fixed = not in cam_free).
+    """
+    K = np.asarray(cam_q).shape[0]
+    Pn = np.asarray(pts).shape[0]
+    oc = np.asarray(obs_cam)
+    op = np.asarray(obs_pt)
+    ouv = np.asarray(obs_uv, np.float32)
+    ow = np.asarray(obs_w, np.float32)
+    cam_free = np.asarray(cam_free)
+    pt_free = np.asarray(pt_free)
+    E = oc.shape[0]
+
+    # per-camera feature lists
+    order_c = np.argsort(oc, kind="stable")
+    F = feat_cap or int(np.bincount(oc, minlength=K).max())
+    cm_pt = np.full((K, F), -1, np.int32)
+    cm_uv = np.zeros((K, F, 2), np.float32)
+    cm_w = np.ones((K, F), np.float32)
+    feat_of_edge = np.zeros(E, np.int32)
+    fill = np.zeros(K, np.int32)
+    for e in order_c:
+        k = oc[e]
+        f = fill[k]
+        if f >= F:
+            continue
+        cm_pt[k, f] = op[e]
+        cm_uv[k, f] = ouv[e]
+        cm_w[k, f] = ow[e]
+        feat_of_edge[e] = f
+        fill[k] = f + 1
+
+    # per-point observation lists
+    M = max_obs
+    pm_kf = np.full((Pn, M), -1, np.int32)
+    pm_feat = np.full((Pn, M), -1, np.int32)
+    pm_uv = np.zeros((Pn, M, 2), np.float32)
+    pm_w = np.ones((Pn, M), np.float32)
+    pm_mslot_of_edge = np.zeros(E, np.int32)
+    pfill = np.zeros(Pn, np.int32)
+    for e in np.argsort(op, kind="stable"):
+        p = op[e]
+        m = pfill[p]
+        if m >= M:
+            continue
+        pm_kf[p, m] = oc[e]
+        pm_feat[p, m] = feat_of_edge[e]
+        pm_uv[p, m] = ouv[e]
+        pm_w[p, m] = ow[e]
+        pm_mslot_of_edge[e] = m
+        pfill[p] = m + 1
+
+    pm_valid = pm_kf >= 0
+    # cslot == camera index for free cams (identity compaction), -1 fixed
+    cam_slot_of = np.where(cam_free, np.arange(K, dtype=np.int32), -1)
+    pm_cslot = np.where(pm_valid & cam_free[np.clip(pm_kf, 0, None)],
+                        np.clip(pm_kf, 0, None), -1).astype(np.int32)
+
+    # cm <-> pm bridge
+    cm_mslot = np.zeros((K, F), np.int32)
+    cm_valid = np.zeros((K, F), bool)
+    for e in range(E):
+        k, f = oc[e], feat_of_edge[e]
+        if cm_pt[k, f] == op[e]:
+            cm_mslot[k, f] = pm_mslot_of_edge[e]
+            cm_valid[k, f] = pm_mslot_of_edge[e] < M and \
+                pm_kf[op[e], pm_mslot_of_edge[e]] == k
+    cm_valid &= cam_free[:, None] & (cm_pt >= 0)
+
+    j = jnp.asarray
+    return bw.WindowProblem(
+        cam_idx=j(np.where(cam_free, np.arange(K), -1).astype(np.int32)),
+        cam_valid=j(cam_free),
+        cam_q=j(np.asarray(cam_q, np.float32)),
+        cam_t=j(np.asarray(cam_t, np.float32)),
+        cam_params=j(np.asarray(cam_params, np.float32)),
+        cm_uv=j(cm_uv), cm_w=j(cm_w), cm_pt=j(cm_pt),
+        cm_mslot=j(cm_mslot), cm_valid=j(cm_valid),
+        pt_idx=j(np.arange(Pn, dtype=np.int32)),
+        pt_valid=j(pt_free.astype(bool)),
+        pts=j(np.asarray(pts, np.float32)),
+        pm_kf=j(pm_kf), pm_feat=j(pm_feat), pm_cslot=j(pm_cslot),
+        pm_uv=j(pm_uv), pm_w=j(pm_w), pm_valid=j(pm_valid),
+        pm_q0=j(np.asarray(cam_q, np.float32)[np.clip(pm_kf, 0, None)]),
+        pm_t0=j(np.asarray(cam_t, np.float32)[np.clip(pm_kf, 0, None)]),
+        pm_params0=j(np.asarray(cam_params, np.float32)[
+            np.clip(pm_kf, 0, None)]),
+        cam_slot_of=j(cam_slot_of),
+        pt_slot_of=j(np.arange(Pn, dtype=np.int32)))
+
+
+def _pad_rows(x, n):
+    pad = (-x.shape[0]) % n
+    if pad == 0:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+
+
+def pad_problem(prob: bw.WindowProblem, n: int) -> bw.WindowProblem:
+    """Pad camera and point axes to multiples of the mesh size (padding
+    rows are invalid and inert)."""
+    d = prob._asdict()
+    for k in ("cam_idx", "cam_valid", "cam_q", "cam_t", "cam_params",
+              "cm_uv", "cm_w", "cm_pt", "cm_mslot", "cm_valid"):
+        d[k] = _pad_rows(d[k], n)
+    for k in ("pt_idx", "pt_valid", "pts", "pm_kf", "pm_feat", "pm_cslot",
+              "pm_uv", "pm_w", "pm_valid", "pm_q0", "pm_t0", "pm_params0"):
+        d[k] = _pad_rows(d[k], n)
+    # padded cam_idx rows must be invalid
+    d["cam_idx"] = jnp.where(d["cam_valid"], d["cam_idx"], -1)
+    d["pt_idx"] = jnp.where(d["pt_valid"], d["pt_idx"], -1)
+    return bw.WindowProblem(**d)
+
+
+# ---------------------------------------------------------------------------
+# distributed solver
+# ---------------------------------------------------------------------------
+
+def _pm_linearize_all(prob, kind, cam_q_rep, cam_t_rep, pts_local):
+    """Point-major linearization of the LOCAL point shard: free-cam edges
+    from the replicated camera state, fixed-cam edges from the stored
+    snapshots.  Returns r, Jp, Jc((zeroed for fixed)), depth_ok."""
+    from mam3slam_tpu.geometry import cameras as cam_mod
+
+    is_free = prob.pm_cslot >= 0
+    csl = jnp.clip(prob.pm_cslot, 0)
+    q = jnp.where(is_free[..., None], cam_q_rep[csl], prob.pm_q0)
+    t = jnp.where(is_free[..., None], cam_t_rep[csl], prob.pm_t0)
+    Xc = lie.quat_rotate(q, pts_local[:, None, :]) + t
+    cam = cam_mod.Camera(prob.pm_params0, kind)
+    pred = cam_mod.project_ideal(cam, Xc)
+    r = pred - prob.pm_uv
+    dpi = cam_mod.project_jac(cam, Xc)
+    R = lie.quat_to_matrix(q)
+    Jp = dpi @ R
+    Jc = jnp.concatenate([dpi, -dpi @ lie.hat(Xc)], axis=-1)
+    Jc = jnp.where(is_free[..., None, None], Jc, 0.0)
+    depth_ok = Xc[..., 2] > 1e-3
+    return r, Jp, Jc, depth_ok
+
+
+def dist_run_window_ba(prob: bw.WindowProblem, mesh: Mesh, kind: int,
+                       axis: str = "shard", iters: int = 10,
+                       cg_iters: int = 30, huber_delta2: float = CHI2,
+                       robust: bool = True,
+                       chi2_th: float = CHI2) -> bw.WindowResult:
+    """Owner-partitioned distributed LM over ``mesh[axis]``.  The jitted
+    shard_map program is cached per (mesh, shapes, params) — repeated
+    calls pay zero retracing."""
+    n = mesh.shape[axis]
+    prob = pad_problem(prob, n)
+    runner = _make_runner(mesh, kind, axis, iters, cg_iters,
+                          float(huber_delta2), bool(robust),
+                          float(chi2_th), prob.cam_q.shape[0],
+                          prob.pts.shape[0])
+    return runner(prob)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_runner(mesh: Mesh, kind: int, axis: str, iters: int,
+                 cg_iters: int, huber_delta2: float, robust: bool,
+                 chi2_th: float, Kc: int, Pw: int):
+    n = mesh.shape[axis]
+    Kn = Kc // n
+
+    shard0 = P(axis)
+    repl = P()
+    in_specs = bw.WindowProblem(
+        cam_idx=shard0, cam_valid=shard0,
+        cam_q=repl, cam_t=repl, cam_params=shard0,
+        cm_uv=shard0, cm_w=shard0, cm_pt=shard0, cm_mslot=shard0,
+        cm_valid=shard0,
+        pt_idx=shard0, pt_valid=shard0, pts=shard0,
+        pm_kf=shard0, pm_feat=shard0, pm_cslot=shard0,
+        pm_uv=shard0, pm_w=shard0, pm_valid=shard0,
+        pm_q0=shard0, pm_t0=shard0, pm_params0=shard0,
+        cam_slot_of=repl, pt_slot_of=repl)
+    out_specs = bw.WindowResult(cam_q=repl, cam_t=repl, pts=shard0,
+                                pm_inlier=shard0, cost=repl)
+
+    def agather(x):
+        return jax.lax.all_gather(x, axis, tiled=True)
+
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=(in_specs,),
+                       out_specs=out_specs, check_vma=False)
+    def _run(lp: bw.WindowProblem):
+        from mam3slam_tpu.geometry import cameras as cam_mod
+
+        my = jax.lax.axis_index(axis)
+
+        def cm_linearize(cam_q_rep, cam_t_rep, pts_full):
+            """Local camera-shard linearization (rows my*Kn .. +Kn)."""
+            q = jax.lax.dynamic_slice_in_dim(cam_q_rep, my * Kn, Kn)
+            t = jax.lax.dynamic_slice_in_dim(cam_t_rep, my * Kn, Kn)
+            X = pts_full[jnp.clip(lp.cm_pt, 0)]
+            Xc = lie.quat_rotate(q[:, None, :], X) + t[:, None, :]
+            cam = cam_mod.Camera(lp.cam_params[:, None, :], kind)
+            pred = cam_mod.project_ideal(cam, Xc)
+            r = pred - lp.cm_uv
+            dpi = cam_mod.project_jac(cam, Xc)
+            Jc = jnp.concatenate([dpi, -dpi @ lie.hat(Xc)], axis=-1)
+            R = lie.quat_to_matrix(q)
+            Jp = dpi @ R[:, None]
+            return r, Jc, Jp, Xc[..., 2] > 1e-3
+
+        def cost_inlier(cam_q_rep, cam_t_rep, pts_local):
+            r, _, _, dok = _pm_linearize_all(lp, kind, cam_q_rep,
+                                             cam_t_rep, pts_local)
+            chi2 = lp.pm_w * jnp.sum(r * r, axis=-1)
+            active = lp.pm_valid & dok
+            c = jax.lax.psum(
+                jnp.sum(jnp.where(active, bw._rho(chi2, chi2_th), 0.0)),
+                axis)
+            return c, active & (chi2 < chi2_th)
+
+        def lm_iter(cam_q_rep, cam_t_rep, pts_local, lam):
+            pts_full = agather(pts_local)
+            # --- point-owner side: elimination blocks
+            r_pm, Jp_pm, Jc_pm, dok_pm = _pm_linearize_all(
+                lp, kind, cam_q_rep, cam_t_rep, pts_local)
+            chi2 = lp.pm_w * jnp.sum(r_pm * r_pm, axis=-1)
+            cost_here = jax.lax.psum(
+                jnp.sum(jnp.where(lp.pm_valid & dok_pm,
+                                  bw._rho(chi2, huber_delta2), 0.0)), axis)
+            w_rob = bw._huber_w(chi2, huber_delta2) if robust \
+                else jnp.ones_like(chi2)
+            w_pm = jnp.where(lp.pm_valid & dok_pm, lp.pm_w * w_rob, 0.0)
+            wJp = Jp_pm * w_pm[..., None, None]
+            g_p = jnp.einsum("pmij,pmi->pj", wJp, r_pm)
+            Hpp = jnp.einsum("pmia,pmib->pab", wJp, Jp_pm)
+            W_pm = jnp.einsum("pmia,pmib->pmab",
+                              Jc_pm * w_pm[..., None, None], Jp_pm)
+
+            def damp(H, free, dim):
+                diag = jnp.diagonal(H, axis1=-2, axis2=-1)
+                add = lam * jnp.maximum(diag, 1e-6) + 1e-8
+                H = H + add[..., None] * jnp.eye(dim, dtype=H.dtype)
+                return jnp.where(free[:, None, None], H,
+                                 jnp.eye(dim, dtype=H.dtype))
+
+            Hpp_inv = bw._spd_inv3(damp(Hpp, lp.pt_valid, 3))
+            Hpp_inv_full = agather(Hpp_inv)
+
+            # --- camera-owner side: reduced system blocks
+            r_cm, Jc_cm, Jp_cm, dok_cm = cm_linearize(
+                cam_q_rep, cam_t_rep, pts_full)
+            chi2_cm = lp.cm_w * jnp.sum(r_cm * r_cm, axis=-1)
+            w_rob_cm = bw._huber_w(chi2_cm, huber_delta2) if robust \
+                else jnp.ones_like(chi2_cm)
+            w_cm = jnp.where(lp.cm_valid & dok_cm,
+                             lp.cm_w * w_rob_cm, 0.0)
+            wJc = Jc_cm * w_cm[..., None, None]
+            g_c_n = jnp.einsum("kfij,kfi->kj", wJc, r_cm)
+            Hcc_n = jnp.einsum("kfia,kfib->kab", wJc, Jc_cm)
+            W_cm = jnp.einsum("kfia,kfib->kfab", wJc, Jp_cm)
+            Hcc_l_n = damp(Hcc_n, lp.cam_valid, 6)
+
+            ptc = jnp.clip(lp.cm_pt, 0)
+            WHW = jnp.einsum("kfab,kfbc,kfdc->kad", W_cm,
+                             Hpp_inv_full[ptc], W_cm)
+            M_inv_n = bw._spd_inv6(Hcc_l_n - WHW)
+
+            # RHS: b = -g_c + W Hpp^-1 g_p   (cam-sharded, then gathered)
+            z0 = jnp.einsum("pab,pb->pa", Hpp_inv, g_p)
+            z0_full = agather(z0)
+            b_n = -g_c_n + jnp.einsum("kfab,kfb->ka", W_cm, z0_full[ptc])
+            b = agather(b_n)
+
+            def S_mv(v):
+                # point-owner half: u = W^T v, z = Hpp^-1 u
+                vc = v[jnp.clip(lp.pm_cslot, 0)]
+                u = jnp.einsum("pmab,pma->pb", W_pm, vc)
+                z = jnp.einsum("pab,pb->pa", Hpp_inv, u)
+                z_full = agather(z)
+                # camera-owner half: Hcc v - W z
+                v_n = jax.lax.dynamic_slice_in_dim(v, my * Kn, Kn)
+                back = jnp.einsum("kfab,kfb->ka", W_cm, z_full[ptc])
+                Sv_n = jnp.einsum("kab,kb->ka", Hcc_l_n, v_n) - back
+                return agather(Sv_n)
+
+            def precond(v):
+                v_n = jax.lax.dynamic_slice_in_dim(v, my * Kn, Kn)
+                return agather(jnp.einsum("kab,kb->ka", M_inv_n, v_n))
+
+            x = jnp.zeros_like(b)
+            rr = b - S_mv(x)
+            zz = precond(rr)
+            p = zz
+            rz = jnp.sum(rr * zz)
+
+            def cg_body(_, carry):
+                x, rr, p, rz = carry
+                Sp = S_mv(p)
+                den = jnp.sum(p * Sp)
+                alpha = rz / jnp.where(jnp.abs(den) < 1e-20, 1e-20, den)
+                x = x + alpha * p
+                rr = rr - alpha * Sp
+                zz = precond(rr)
+                rz_new = jnp.sum(rr * zz)
+                beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+                return x, rr, zz + beta * p, rz_new
+
+            x, rr, p, rz = jax.lax.fori_loop(0, cg_iters, cg_body,
+                                             (x, rr, p, rz))
+            cam_valid_rep = agather(lp.cam_valid)
+            dx_c = jnp.where(cam_valid_rep[:, None], x, 0.0)
+
+            # point back-substitution (local)
+            vc = dx_c[jnp.clip(lp.pm_cslot, 0)]
+            u = jnp.einsum("pmab,pma->pb", W_pm, vc)
+            dx_p = jnp.einsum("pab,pb->pa", Hpp_inv, -g_p - u)
+            dx_p = jnp.where(lp.pt_valid[:, None], dx_p, 0.0)
+
+            dT = lie.se3_exp(dx_c)
+            nq = lie.quat_normalize(lie.quat_mul(dT.q, cam_q_rep))
+            nt = lie.quat_rotate(dT.q, cam_t_rep) + dT.t
+            return nq, nt, pts_local + dx_p, cost_here
+
+        def body(_, carry):
+            bq, bt, bp, bcost, q, t, p, lam = carry
+            nq, nt, np_, cost = lm_iter(q, t, p, lam)
+            accept = cost < bcost
+            lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-7),
+                            jnp.minimum(lam * 4.0, 1e4))
+            bq = jnp.where(accept, q, bq)
+            bt = jnp.where(accept, t, bt)
+            bp = jnp.where(accept, p, bp)
+            bcost = jnp.where(accept, cost, bcost)
+            dq = lie.quat_mul(nq, lie.quat_conj(q))
+            dt = nt - lie.quat_rotate(dq, t)
+            sq = lie.quat_normalize(lie.quat_mul(dq, bq))
+            st = lie.quat_rotate(dq, bt) + dt
+            sp = bp + (np_ - p)
+            return bq, bt, bp, bcost, sq, st, sp, lam
+
+        big = jnp.asarray(jnp.inf, jnp.float32)
+        q0, t0, p0 = lp.cam_q, lp.cam_t, lp.pts
+        bq, bt, bp, bcost, _, _, _, _ = jax.lax.fori_loop(
+            0, iters + 1, body,
+            (q0, t0, p0, big, q0, t0, p0,
+             jnp.asarray(1e-4, jnp.float32)))
+        _, inlier = cost_inlier(bq, bt, bp)
+        return bw.WindowResult(cam_q=bq, cam_t=bt, pts=bp,
+                               pm_inlier=inlier, cost=bcost)
+
+    return jax.jit(_run)

@@ -41,7 +41,7 @@ import numpy as np
 
 from mam3slam_tpu.geometry import lie
 from mam3slam_tpu.slam import steps
-from mam3slam_tpu.solvers import ba as ba_mod
+from mam3slam_tpu.solvers import ba_window as bw
 from mam3slam_tpu.solvers import pgo as pgo_mod
 
 
@@ -64,9 +64,13 @@ class BackgroundGBA:
             # keyframe of the map by kf_seq (slots recycle)
             anchor = jnp.argmin(jnp.where(in_map, ms.kf_seq, S.BIG_SEQ))
             opt_mask = in_map.at[anchor].set(False)
-            prob = steps.build_local_ba_problem(ms, opt_mask, is2)
-            res = ba_mod.run_ba(prob, kind, iters=iters, cg_iters=cg_iters)
-            return res.cam_q, res.cam_t, res.pts, opt_mask, prob.pt_free
+            prob = steps.build_window_problem(ms, opt_mask, is2,
+                                              cfg.max_kf, cfg.max_mp)
+            res = bw.run_window_ba(prob, kind, iters=iters,
+                                   cg_iters=cg_iters)
+            ms2 = steps.apply_window_result(ms, prob, res)
+            return (ms2.kf_q, ms2.kf_t, ms2.mp_pos, opt_mask,
+                    steps.window_pt_mask(ms, prob))
 
         self._compute = compute
         self._pending = None  # (outputs tuple, snapshot dict)

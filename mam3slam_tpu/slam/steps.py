@@ -408,3 +408,141 @@ def apply_ba_result(ms: S.MapState, res: ba_mod.BAResult, opt_kf_mask,
         kf_t=jnp.where(opt_kf_mask[:, None], res.cam_t, ms.kf_t),
         mp_pos=jnp.where(pt_free[:, None], res.pts, ms.mp_pos),
     )
+
+
+# ---------------------------------------------------------------------------
+# dense two-view (scatter-free) window BA wiring — solvers/ba_window.py
+# ---------------------------------------------------------------------------
+
+def build_window_problem(ms: S.MapState, opt_mask, inv_sigma2,
+                         cam_cap: int, pt_cap: int):
+    """Assemble a ``WindowProblem`` (solvers/ba_window.py): free cameras
+    compacted to ``[cam_cap]``, window points to ``[pt_cap]``, edges laid
+    out densely camera-major ``[Kc, F]`` AND point-major ``[Pw, M]`` from
+    the reverse-observation table.  Deliberately SCATTER-FREE (XLA:TPU
+    serializes duplicate-index scatters): compactions are stable argsorts,
+    the cm<->pm edge bridge is a dense [Kc, F, M] compare at build, and
+    write-back (apply_window_result) is pure gathers through the
+    arena-sized slot maps.
+
+    Free cameras beyond ``cam_cap`` and window points beyond ``pt_cap``
+    degrade gracefully to fixed (they keep constraining the problem but
+    are not optimized)."""
+    from mam3slam_tpu.solvers import ba_window as bw
+
+    K, F = ms.kf_feat_mp.shape
+    P, Mo = ms.mp_obs_kf.shape
+    fmp = ms.kf_feat_mp
+
+    # --- free-camera compaction (stable argsort: free cams first, in
+    # arena order — identical to cumsum compaction, no scatter)
+    cam_free = opt_mask & ms.kf_valid
+    corder = jnp.argsort(~cam_free, stable=True).astype(jnp.int32)
+    cam_idx = jnp.where(cam_free[corder[:cam_cap]], corder[:cam_cap], -1)
+    cam_valid = cam_idx >= 0
+    ci = jnp.clip(cam_idx, 0)
+    cpos = jnp.cumsum(cam_free.astype(jnp.int32)) - 1
+    cam_slot_of = jnp.where(cam_free & (cpos < cam_cap), cpos, -1)  # [K]
+    eff_free = cam_slot_of >= 0            # overflowed free cams => fixed
+
+    # --- window points: observed by an effective-free KF.  Computed from
+    # the reverse-observation table (gather + reduce over M — the forward
+    # [K*F] scatter-max this replaces serializes on TPU).
+    obs_ok = ((jnp.arange(Mo)[None, :] < ms.mp_nobs[:, None])
+              & (ms.mp_obs_kf >= 0))
+    pt_free = jnp.any(obs_ok & eff_free[jnp.clip(ms.mp_obs_kf, 0)],
+                      axis=1) & ms.mp_valid
+    porder = jnp.argsort(~pt_free, stable=True).astype(jnp.int32)
+    pt_idx = jnp.where(pt_free[porder[:pt_cap]], porder[:pt_cap], -1)
+    pt_valid = pt_idx >= 0
+    pi = jnp.clip(pt_idx, 0)
+    ppos = jnp.cumsum(pt_free.astype(jnp.int32)) - 1
+    pt_slot_of = jnp.where(pt_free & (ppos < pt_cap), ppos, -1)     # [P]
+
+    # --- point-major view from the reverse-observation table
+    pm_kf = ms.mp_obs_kf[pi]                                # [Pw, M]
+    pm_feat = ms.mp_obs_feat[pi]
+    slot_ok = jnp.arange(Mo)[None, :] < ms.mp_nobs[pi][:, None]
+    kfc = jnp.clip(pm_kf, 0)
+    ftc = jnp.clip(pm_feat, 0)
+    fwd_agree = ms.kf_feat_mp[kfc, ftc] == pt_idx[:, None]
+    pm_valid = (pt_valid[:, None] & slot_ok & (pm_kf >= 0)
+                & ms.kf_valid[kfc] & fwd_agree)
+    pm_cslot = jnp.where(pm_valid, cam_slot_of[kfc], -1)
+    pm_uv = ms.kf_feat_uv[kfc, ftc]
+    pm_w = inv_sigma2[ms.kf_feat_level[kfc, ftc]]
+    pm_q0 = ms.kf_q[kfc]
+    pm_t0 = ms.kf_t[kfc]
+    pm_params0 = ms.kf_cam[kfc]
+
+    # --- camera-major view; validity + obs-slot bridge derived FROM the
+    # pm view by a dense compare over M, so both views describe exactly
+    # the same edge set and cm edges know their pm slot (gather bridge)
+    cm_fmp = fmp[ci]                                        # [Kc, F]
+    cm_pt = jnp.where(cm_fmp >= 0, pt_slot_of[jnp.clip(cm_fmp, 0)], -1)
+    cm_uv = ms.kf_feat_uv[ci]
+    cm_w = inv_sigma2[ms.kf_feat_level[ci]]
+    ptc = jnp.clip(cm_pt, 0)
+    hit = (pm_valid[ptc]                                    # [Kc, F, M]
+           & (pm_kf[ptc] == cam_idx[:, None, None])
+           & (pm_feat[ptc] == jnp.arange(F, dtype=jnp.int32)[None, :,
+                                                             None]))
+    cm_mslot = jnp.argmax(hit, axis=-1).astype(jnp.int32)
+    cm_valid = (jnp.any(hit, axis=-1) & (cm_pt >= 0)
+                & cam_valid[:, None])
+
+    return bw.WindowProblem(
+        cam_idx=cam_idx, cam_valid=cam_valid,
+        cam_q=ms.kf_q[ci], cam_t=ms.kf_t[ci], cam_params=ms.kf_cam[ci],
+        cm_uv=cm_uv, cm_w=cm_w, cm_pt=cm_pt, cm_mslot=cm_mslot,
+        cm_valid=cm_valid,
+        pt_idx=pt_idx, pt_valid=pt_valid, pts=ms.mp_pos[pi],
+        pm_kf=pm_kf, pm_feat=pm_feat, pm_cslot=pm_cslot,
+        pm_uv=pm_uv, pm_w=pm_w, pm_valid=pm_valid,
+        pm_q0=pm_q0, pm_t0=pm_t0, pm_params0=pm_params0,
+        cam_slot_of=cam_slot_of, pt_slot_of=pt_slot_of)
+
+
+def window_pt_mask(ms: S.MapState, prob) -> jnp.ndarray:
+    """Arena-sized bool mask of the points the window problem optimizes
+    (the reference's spLocalWindowMPs)."""
+    return prob.pt_slot_of >= 0
+
+
+def apply_window_result(ms: S.MapState, prob, res,
+                        drop_pm=None) -> S.MapState:
+    """Write optimized poses/points back to the arena (pure gathers
+    through the slot maps); optionally drop the observations in
+    ``drop_pm`` ([Pw, M] bool — outlier edges) from the forward table.
+    Caller must rebuild_reverse_obs afterwards when dropping."""
+    K, F = ms.kf_feat_mp.shape
+
+    cs = prob.cam_slot_of                                  # [K]
+    csl = jnp.clip(cs, 0)
+    kf_q = jnp.where((cs >= 0)[:, None], res.cam_q[csl], ms.kf_q)
+    kf_t = jnp.where((cs >= 0)[:, None], res.cam_t[csl], ms.kf_t)
+
+    ps = prob.pt_slot_of                                   # [P]
+    psl = jnp.clip(ps, 0)
+    mp_pos = jnp.where((ps >= 0)[:, None], res.pts[psl], ms.mp_pos)
+
+    ms = ms._replace(kf_q=kf_q, kf_t=kf_t, mp_pos=mp_pos)
+    if drop_pm is not None:
+        # one scatter with UNIQUE indices (inactive edges routed to a
+        # private scratch slot each) — vectorizes on TPU
+        Pw, Mo = drop_pm.shape
+        nflat = K * F
+        eidx = jnp.arange(Pw * Mo, dtype=jnp.int32)
+        flat_tgt = jnp.where(
+            drop_pm.reshape(-1),
+            (prob.pm_kf.reshape(-1) * F + jnp.clip(
+                prob.pm_feat.reshape(-1), 0)),
+            nflat + eidx)
+        fpad = jnp.concatenate(
+            [ms.kf_feat_mp.reshape(-1),
+             jnp.zeros((Pw * Mo,), jnp.int32)])
+        fmp = fpad.at[flat_tgt].set(S.NO_MP, unique_indices=True,
+                                    indices_are_sorted=False)[
+            :nflat].reshape(K, F)
+        ms = ms._replace(kf_feat_mp=fmp)
+    return ms

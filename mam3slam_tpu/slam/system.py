@@ -27,6 +27,7 @@ from mam3slam_tpu.mapstate import state as S
 from mam3slam_tpu.ops import matching as M
 from mam3slam_tpu.slam import steps
 from mam3slam_tpu.solvers import ba as ba_mod
+from mam3slam_tpu.solvers import ba_window as bw
 from mam3slam_tpu.solvers import twoview
 from mam3slam_tpu.utils.timing import Timers
 
@@ -83,6 +84,10 @@ class SlamConfig:
     lba_window: int = 16
     lba_iters: int = 8
     lba_cg_iters: int = 30
+    # dense window-BA caps (solvers/ba_window.py): free cameras beyond
+    # lba_cam_cap / window points beyond lba_pt_cap stay fixed
+    lba_cam_cap: int = 24
+    lba_pt_cap: int = 8192
 
     @property
     def scale_factors(self):
@@ -227,19 +232,13 @@ def _compiled(cfg: SlamConfig, kind: int):
         return S.refresh_mp_stats(ms, mp_mask, sf)
 
     def _lba_core(ms, opt_mask):
-        """Shared windowed-BA body: assemble the masked problem, compact
-        the edge list, robust LM + inlier-only polish, write back, drop
-        outlier observations."""
-        prob = steps.build_local_ba_problem(ms, opt_mask, is2)
-        # compact the arena-sized edge list to the window's edges so CG
-        # cost scales with the window, not max_kf (measured 8x at K=512)
-        edge_cap = min((cfg.lba_window + 48) * cfg.n_feat,
-                       ms.kf_feat_mp.shape[0] * cfg.n_feat)
-        ft_full = jnp.tile(jnp.arange(cfg.n_feat, dtype=jnp.int32),
-                           ms.kf_feat_mp.shape[0])
-        prob, E_ft = steps.compact_ba_problem(prob, edge_cap, extra=ft_full)
-        res = ba_mod.run_ba(prob, kind, iters=cfg.lba_iters,
-                            cg_iters=cfg.lba_cg_iters)
+        """Shared windowed-BA body on the dense scatter-free solver
+        (solvers/ba_window.py): assemble the two-view problem, robust LM +
+        inlier-only polish, write back, drop outlier observations."""
+        prob = steps.build_window_problem(ms, opt_mask, is2,
+                                          cfg.lba_cam_cap, cfg.lba_pt_cap)
+        res = bw.run_window_ba(prob, kind, iters=cfg.lba_iters,
+                               cg_iters=cfg.lba_cg_iters)
         # inlier-floor guard: a badly initialized window classifies (almost)
         # every edge as outlier; polishing on an empty edge set and then
         # dropping 100% of the observations would destroy the region.  When
@@ -247,32 +246,25 @@ def _compiled(cfg: SlamConfig, kind: int):
         # robust edge set for the polish and skip the observation drop
         # entirely (the reference keeps edges and retries next epoch,
         # src/Optimizer.cc:3505 area never empties a window).
-        n_valid = jnp.sum(prob.obs.valid.astype(jnp.int32))
-        frac_in = (jnp.sum(res.inlier.astype(jnp.int32))
+        n_valid = jnp.sum(prob.pm_valid.astype(jnp.int32))
+        frac_in = (jnp.sum(res.pm_inlier.astype(jnp.int32))
                    / jnp.maximum(n_valid, 1).astype(jnp.float32))
         healthy = frac_in >= 0.4
-        polish_mask = jnp.where(healthy, res.inlier, prob.obs.valid)
+        polish_mask = res.pm_inlier | (~healthy & prob.pm_valid)
         # robust=True is exact on true inliers (chi2<=delta2 => Huber w=1),
         # and keeps the unhealthy branch from diverging
-        res2 = ba_mod.run_ba(
+        res2 = bw.run_window_ba(
             prob._replace(cam_q=res.cam_q, cam_t=res.cam_t, pts=res.pts),
             kind, iters=4, cg_iters=cfg.lba_cg_iters,
-            edge_mask=polish_mask, robust=True)
-        ms = steps.apply_ba_result(ms, res2, opt_mask, prob.pt_free)
+            pm_edge_mask=polish_mask, robust=True)
         # drop observations whose edges were classified outliers — gated on
         # the final inlier fraction clearing the floor
-        frac_fin = (jnp.sum(res2.inlier.astype(jnp.int32))
+        frac_fin = (jnp.sum(res2.pm_inlier.astype(jnp.int32))
                     / jnp.maximum(n_valid, 1).astype(jnp.float32))
-        E_kf = prob.obs.cam
-        drop = prob.obs.valid & ~res2.inlier & (frac_fin >= 0.4)
-        fmp = ms.kf_feat_mp.at[
-            jnp.where(drop, E_kf, 0), jnp.where(drop, E_ft, 0)].set(
-            jnp.where(drop, S.NO_MP,
-                      ms.kf_feat_mp[jnp.where(drop, E_kf, 0),
-                                    jnp.where(drop, E_ft, 0)]))
-        ms = ms._replace(kf_feat_mp=fmp)
+        drop = prob.pm_valid & ~res2.pm_inlier & (frac_fin >= 0.4)
+        ms = steps.apply_window_result(ms, prob, res2, drop_pm=drop)
         ms = S.rebuild_reverse_obs(ms)
-        return ms, prob.pt_free
+        return ms, steps.window_pt_mask(ms, prob)
 
     def _window_mask(ms, center_kf):
         idx, w, ok = S.best_covisible(ms, center_kf, cfg.lba_window)
@@ -315,9 +307,10 @@ def _compiled(cfg: SlamConfig, kind: int):
         in_map = ms.kf_valid & (ms.kf_map == map_id)
         anchor1 = jnp.argmin(jnp.where(in_map, ms.kf_seq, S.BIG_SEQ))
         opt_mask = in_map.at[anchor1].set(False)
-        prob = steps.build_local_ba_problem(ms, opt_mask, is2)
-        res = ba_mod.run_ba(prob, kind, iters=10, cg_iters=40)
-        ms = steps.apply_ba_result(ms, res, opt_mask, prob.pt_free)
+        prob = steps.build_window_problem(ms, opt_mask, is2,
+                                          cfg.max_kf, cfg.max_mp)
+        res = bw.run_window_ba(prob, kind, iters=10, cg_iters=40)
+        ms = steps.apply_window_result(ms, prob, res)
         return ms
 
     @jax.jit

@@ -1,0 +1,370 @@
+"""Scatter-free windowed / global bundle adjustment (dense two-view Schur).
+
+TPU-native second-generation BA core replacing the edge-list formulation in
+``solvers/ba.py`` for the windowed-LBA / welding-BA / global-BA paths
+(reference ``Optimizer::LocalBundleAdjustment`` src/Optimizer.cc:1116, merge
+overload :3505, ``GlobalBundleAdjustemnt`` :52).
+
+Why a second formulation: the edge-list solver reduces per-vertex blocks
+with ``.at[].add`` scatter-adds over arena-sized arrays — hundreds of them
+per solve inside the CG loop.  XLA:TPU lowers duplicate-index scatters to
+serialized sort-based updates; profiling showed they dominate the measured
+3.1 s LBA epoch (4.4k live edges doing 24k-point-arena scatters, 360 CG
+iterations).  Here the observation structure is laid out DENSELY in both
+directions once, so every reduction in the hot loop is a plain ``sum`` over
+a trailing axis and every irregular access is a dense gather:
+
+* **camera-major view** ``[Kc, F]``: for each *free* camera, its F feature
+  slots (uv, weight, point-slot).  Reductions over F produce the 6x6
+  ``Hcc`` blocks, camera gradients, and the ``W z`` half of the Schur
+  matvec.
+* **point-major view** ``[Pw, M]``: for each window point, its <=M
+  observations from the reverse-observation table (``mp_obs_kf/feat``),
+  including observations from FIXED cameras (which contribute to ``Hpp``
+  and the gradient but have no pose jacobian).  Reductions over M produce
+  the 3x3 ``Hpp`` blocks, point gradients, and the ``W^T v`` half.
+
+Free-camera edges are linearized once in the camera-major view; the
+point-major view *gathers* those per-edge tensors (via the
+``cslot * F + feat`` flat index), so both views are numerically identical
+and the implicit Schur operator stays exactly symmetric.  Fixed-camera
+edges are linearized directly in the point-major view (their ``Jc`` is
+irrelevant).  The only scatters left are in problem build / result
+write-back — once per solve, outside the LM x CG loops.
+
+LM semantics match ``ba.run_ba``: Huber(sqrt(5.991)) IRLS, additive
+diagonal damping with accept/reject, chi2 inlier classification in the
+result (reference 10-iteration budget, post-hoc outlier edge removal).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mam3slam_tpu.geometry import cameras as cam_mod
+from mam3slam_tpu.geometry import lie
+
+CHI2_MONO = 5.991
+
+
+class WindowProblem(NamedTuple):
+    """Dense two-view BA problem.  Kc = free-camera cap, F = features per
+    keyframe, Pw = window-point cap, M = reverse-observation cap."""
+
+    # free-camera block [Kc]
+    cam_idx: jnp.ndarray      # arena KF slot, -1 = unused
+    cam_valid: jnp.ndarray    # bool
+    cam_q: jnp.ndarray        # [Kc, 4]
+    cam_t: jnp.ndarray        # [Kc, 3]
+    cam_params: jnp.ndarray   # [Kc, 8]
+    # camera-major edges [Kc, F]
+    cm_uv: jnp.ndarray        # [Kc, F, 2]
+    cm_w: jnp.ndarray         # [Kc, F] information (1/sigma^2)
+    cm_pt: jnp.ndarray        # [Kc, F] point slot into Pw, -1 = none
+    cm_mslot: jnp.ndarray     # [Kc, F] obs slot m of this edge in the
+    #                           point-major view (gather bridge cm<-pm)
+    cm_valid: jnp.ndarray     # [Kc, F] bool
+    # point block [Pw]
+    pt_idx: jnp.ndarray       # arena MP slot, -1 = unused
+    pt_valid: jnp.ndarray
+    pts: jnp.ndarray          # [Pw, 3]
+    # point-major edges [Pw, M]
+    pm_kf: jnp.ndarray        # arena KF slot of the observer
+    pm_feat: jnp.ndarray      # feature index in that KF
+    pm_cslot: jnp.ndarray     # free-camera slot, -1 = fixed camera
+    pm_uv: jnp.ndarray        # [Pw, M, 2]
+    pm_w: jnp.ndarray         # [Pw, M]
+    pm_valid: jnp.ndarray     # [Pw, M]
+    # fixed-observer pose/intrinsics snapshots (constant over the solve)
+    pm_q0: jnp.ndarray        # [Pw, M, 4]
+    pm_t0: jnp.ndarray        # [Pw, M, 3]
+    pm_params0: jnp.ndarray   # [Pw, M, 8]
+    # arena-sized slot maps (gather-based write-back, no scatters)
+    cam_slot_of: jnp.ndarray  # [K] free-cam slot or -1
+    pt_slot_of: jnp.ndarray   # [P] window-point slot or -1
+
+
+class WindowResult(NamedTuple):
+    cam_q: jnp.ndarray        # [Kc, 4]
+    cam_t: jnp.ndarray        # [Kc, 3]
+    pts: jnp.ndarray          # [Pw, 3]
+    pm_inlier: jnp.ndarray    # [Pw, M] bool, chi2-gated at the solution
+    cost: jnp.ndarray         # [] robust cost
+
+
+def _huber_w(chi2, delta2):
+    return jnp.where(chi2 <= delta2, 1.0,
+                     jnp.sqrt(delta2 / jnp.maximum(chi2, 1e-12)))
+
+
+def _rho(chi2, delta2):
+    return jnp.where(chi2 <= delta2, chi2,
+                     2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 1e-12))
+                     - delta2)
+
+
+def _cm_linearize(prob: WindowProblem, kind, cam_q, cam_t, pts):
+    """Camera-major residuals/jacobians [Kc, F, ...] for free-cam edges."""
+    X = pts[jnp.clip(prob.cm_pt, 0)]                       # [Kc, F, 3]
+    Xc = lie.quat_rotate(cam_q[:, None, :], X) + cam_t[:, None, :]
+    cam = cam_mod.Camera(prob.cam_params[:, None, :], kind)
+    pred = cam_mod.project_ideal(cam, Xc)
+    r = pred - prob.cm_uv                                  # [Kc, F, 2]
+    dpi = cam_mod.project_jac(cam, Xc)                     # [Kc, F, 2, 3]
+    Jc = jnp.concatenate([dpi, -dpi @ lie.hat(Xc)], axis=-1)
+    R = lie.quat_to_matrix(cam_q)                          # [Kc, 3, 3]
+    Jp = dpi @ R[:, None]                                  # [Kc, F, 2, 3]
+    depth_ok = Xc[..., 2] > 1e-3
+    return r, Jc, Jp, depth_ok
+
+
+def _pm_fixed_linearize(prob: WindowProblem, kind, pts):
+    """Point-major residuals/jacobians [Pw, M, ...] for FIXED-cam edges
+    (constant poses, so only point jacobians matter)."""
+    Xc = lie.quat_rotate(prob.pm_q0, pts[:, None, :]) + prob.pm_t0
+    cam = cam_mod.Camera(prob.pm_params0, kind)
+    pred = cam_mod.project_ideal(cam, Xc)
+    r = pred - prob.pm_uv
+    dpi = cam_mod.project_jac(cam, Xc)
+    R = lie.quat_to_matrix(prob.pm_q0)                     # [Pw, M, 3, 3]
+    Jp = dpi @ R
+    depth_ok = Xc[..., 2] > 1e-3
+    return r, Jp, depth_ok
+
+
+def _gather_cm(flat, cslot, feat, F):
+    """Gather camera-major per-edge tensors into point-major layout.
+    ``flat``: [Kc*F, ...]; invalid (fixed-cam) slots read row 0 — callers
+    mask with ``is_free``."""
+    idx = jnp.clip(cslot, 0) * F + jnp.clip(feat, 0)
+    return flat[idx]
+
+
+def _spd_inv3(A):
+    """Closed-form cofactor inverse of batched 3x3 SPD blocks — fully
+    vectorized (jnp.linalg.inv lowers to pivoted LU loops on TPU, which
+    serializes over the 8k-point batch)."""
+    A = A + 1e-8 * jnp.eye(3, dtype=A.dtype)
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    C00 = e * i - f * h
+    C01 = c * h - b * i
+    C02 = b * f - c * e
+    C10 = f * g - d * i
+    C11 = a * i - c * g
+    C12 = c * d - a * f
+    C20 = d * h - e * g
+    C21 = b * g - a * h
+    C22 = a * e - b * d
+    det = a * C00 + b * C10 + c * C20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    M = jnp.stack([jnp.stack([C00, C01, C02], -1),
+                   jnp.stack([C10, C11, C12], -1),
+                   jnp.stack([C20, C21, C22], -1)], -2)
+    return M * inv_det[..., None, None]
+
+
+def _spd_inv6(A):
+    return jnp.linalg.inv(A + 1e-8 * jnp.eye(6, dtype=A.dtype))
+
+
+def window_cost_and_inliers(prob: WindowProblem, kind, cam_q, cam_t, pts,
+                            chi2_th: float = CHI2_MONO):
+    """Robust cost + chi2 inlier mask over the point-major edge set (which
+    covers EVERY edge exactly once: free-cam edges gathered, fixed-cam
+    edges direct)."""
+    F = prob.cm_uv.shape[1]
+    is_free = prob.pm_cslot >= 0
+    r_cm, _, _, dok_cm = _cm_linearize(prob, kind, cam_q, cam_t, pts)
+    r_fx, _, dok_fx = _pm_fixed_linearize(prob, kind, pts)
+    r_free = _gather_cm(r_cm.reshape(-1, 2), prob.pm_cslot, prob.pm_feat, F)
+    dok_free = _gather_cm(dok_cm.reshape(-1), prob.pm_cslot, prob.pm_feat, F)
+    r = jnp.where(is_free[..., None], r_free, r_fx)
+    dok = jnp.where(is_free, dok_free, dok_fx)
+    chi2 = prob.pm_w * jnp.sum(r * r, axis=-1)
+    active = prob.pm_valid & dok
+    cost = jnp.sum(jnp.where(active, _rho(chi2, chi2_th), 0.0))
+    inlier = active & (chi2 < chi2_th)
+    return cost, inlier
+
+
+def cm_mask_from_pm(prob: WindowProblem, pm_mask):
+    """Project a point-major edge mask onto the camera-major grid via the
+    precomputed (point, obs-slot) bridge — a pure gather (each free-cam
+    edge has exactly one pm slot, recorded in cm_mslot at build)."""
+    return pm_mask[jnp.clip(prob.cm_pt, 0),
+                   jnp.clip(prob.cm_mslot, 0)] & prob.cm_valid
+
+
+def _lm_iteration(prob: WindowProblem, kind, cam_q, cam_t, pts, lam,
+                  pm_edge_mask, cm_edge_mask, huber_delta2, cg_iters,
+                  robust):
+    Kc, F = prob.cm_uv.shape[:2]
+    is_free = prob.pm_cslot >= 0
+
+    # ---- linearize once (camera-major for free edges, direct for fixed)
+    r_cm, Jc_cm, Jp_cm, dok_cm = _cm_linearize(prob, kind, cam_q, cam_t,
+                                               pts)
+    r_fx, Jp_fx, dok_fx = _pm_fixed_linearize(prob, kind, pts)
+
+    # point-major copies of the free-cam edge tensors (exact same values)
+    r_pm = jnp.where(
+        is_free[..., None],
+        _gather_cm(r_cm.reshape(-1, 2), prob.pm_cslot, prob.pm_feat, F),
+        r_fx)
+    Jp_pm = jnp.where(
+        is_free[..., None, None],
+        _gather_cm(Jp_cm.reshape(-1, 2, 3), prob.pm_cslot, prob.pm_feat, F),
+        Jp_fx)
+    dok_pm = jnp.where(
+        is_free,
+        _gather_cm(dok_cm.reshape(-1), prob.pm_cslot, prob.pm_feat, F),
+        dok_fx)
+
+    chi2_pm = prob.pm_w * jnp.sum(r_pm * r_pm, axis=-1)
+    # robust cost at the linearization point — returned so the caller can
+    # run the accept/reject of the PREVIOUS trial from this linearization
+    # instead of paying a second full linearization per LM iteration
+    cost_here = jnp.sum(jnp.where(pm_edge_mask & dok_pm,
+                                  _rho(chi2_pm, huber_delta2), 0.0))
+    w_rob_pm = _huber_w(chi2_pm, huber_delta2) if robust \
+        else jnp.ones_like(chi2_pm)
+    w_pm = jnp.where(pm_edge_mask & dok_pm, prob.pm_w * w_rob_pm, 0.0)
+
+    # camera-major weights: recomputed from identical r (bit-identical
+    # inputs), with the per-run edge mask pre-projected onto the cm grid
+    # (cm_mask_from_pm) so both views weight exactly the same edge set.
+    chi2_cm = prob.cm_w * jnp.sum(r_cm * r_cm, axis=-1)
+    w_rob_cm = _huber_w(chi2_cm, huber_delta2) if robust \
+        else jnp.ones_like(chi2_cm)
+    w_cm = jnp.where(cm_edge_mask & dok_cm, prob.cm_w * w_rob_cm, 0.0)
+
+    # ---- blocks (all reductions are dense axis sums)
+    wJc = Jc_cm * w_cm[..., None, None]                    # [Kc, F, 2, 6]
+    wJp_cm = Jp_cm * w_cm[..., None, None]
+    g_c = jnp.einsum("kfij,kfi->kj", wJc, r_cm)            # [Kc, 6]
+    Hcc = jnp.einsum("kfia,kfib->kab", wJc, Jc_cm)         # [Kc, 6, 6]
+    W_cm = jnp.einsum("kfia,kfib->kfab", wJc, Jp_cm)       # [Kc, F, 6, 3]
+
+    wJp_pm = Jp_pm * w_pm[..., None, None]                 # [Pw, M, 2, 3]
+    g_p = jnp.einsum("pmij,pmi->pj", wJp_pm, r_pm)         # [Pw, 3]
+    Hpp = jnp.einsum("pmia,pmib->pab", wJp_pm, Jp_pm)      # [Pw, 3, 3]
+    W_pm = jnp.where(
+        is_free[..., None, None],
+        _gather_cm(W_cm.reshape(-1, 6, 3), prob.pm_cslot, prob.pm_feat, F),
+        0.0)                                               # [Pw, M, 6, 3]
+
+    # ---- LM damping; fixed/invalid vertices get identity blocks
+    def damp(H, free, dim):
+        diag = jnp.diagonal(H, axis1=-2, axis2=-1)
+        add = lam * jnp.maximum(diag, 1e-6) + 1e-8
+        H = H + add[..., None] * jnp.eye(dim, dtype=H.dtype)
+        return jnp.where(free[:, None, None], H,
+                         jnp.eye(dim, dtype=H.dtype))
+
+    Hcc_l = damp(Hcc, prob.cam_valid, 6)
+    Hpp_l = damp(Hpp, prob.pt_valid, 3)
+    Hpp_inv = _spd_inv3(Hpp_l)
+
+    ptc = jnp.clip(prob.cm_pt, 0)
+
+    def S_mv(v):                                           # v: [Kc, 6]
+        vc = v[jnp.clip(prob.pm_cslot, 0)]                 # [Pw, M, 6]
+        u = jnp.einsum("pmab,pma->pb", W_pm, vc)           # [Pw, 3]
+        z = jnp.einsum("pab,pb->pa", Hpp_inv, u)           # [Pw, 3]
+        zk = z[ptc]                                        # [Kc, F, 3]
+        back = jnp.einsum("kfab,kfb->ka", W_cm, zk)        # [Kc, 6]
+        return jnp.einsum("kab,kb->ka", Hcc_l, v) - back
+
+    z0 = jnp.einsum("pab,pb->pa", Hpp_inv, g_p)
+    b = -g_c + jnp.einsum("kfab,kfb->ka", W_cm, z0[ptc])
+
+    # block-Jacobi preconditioner of the reduced camera system
+    WHW = jnp.einsum("kfab,kfbc,kfdc->kfad", W_cm, Hpp_inv[ptc], W_cm)
+    M_inv = _spd_inv6(Hcc_l - jnp.sum(WHW, axis=1))
+
+    def precond(v):
+        return jnp.einsum("kab,kb->ka", M_inv, v)
+
+    x = jnp.zeros_like(b)
+    rr = b - S_mv(x)
+    zz = precond(rr)
+    p = zz
+    rz = jnp.sum(rr * zz)
+
+    def cg_body(_, carry):
+        x, rr, p, rz = carry
+        Sp = S_mv(p)
+        denom = jnp.sum(p * Sp)
+        alpha = rz / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+        x = x + alpha * p
+        rr = rr - alpha * Sp
+        zz = precond(rr)
+        rz_new = jnp.sum(rr * zz)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+        p = zz + beta * p
+        return x, rr, p, rz_new
+
+    x, rr, p, rz = jax.lax.fori_loop(0, cg_iters, cg_body, (x, rr, p, rz))
+    dx_c = jnp.where(prob.cam_valid[:, None], x, 0.0)
+
+    # point back-substitution
+    vc = dx_c[jnp.clip(prob.pm_cslot, 0)]
+    u = jnp.einsum("pmab,pma->pb", W_pm, vc)
+    dx_p = jnp.einsum("pab,pb->pa", Hpp_inv, -g_p - u)
+    dx_p = jnp.where(prob.pt_valid[:, None], dx_p, 0.0)
+
+    dT = lie.se3_exp(dx_c)
+    new_q = lie.quat_normalize(lie.quat_mul(dT.q, cam_q))
+    new_t = lie.quat_rotate(dT.q, cam_t) + dT.t
+    return new_q, new_t, pts + dx_p, cost_here
+
+
+def run_window_ba(prob: WindowProblem, kind: int, iters: int = 10,
+                  cg_iters: int = 30, huber_delta2: float = CHI2_MONO,
+                  robust: bool = True, chi2_th: float = CHI2_MONO,
+                  pm_edge_mask=None, lam0: float = 1e-4) -> WindowResult:
+    """LM loop with accept/reject + adaptive damping.  jit-able."""
+    mask0 = prob.pm_valid if pm_edge_mask is None \
+        else (prob.pm_valid & pm_edge_mask)
+    cm_mask0 = cm_mask_from_pm(prob, mask0)
+
+    def body(_, carry):
+        """One linearization per iteration: the trial point's cost is
+        evaluated by the NEXT iteration's linearization (which computes it
+        anyway), halving sequential work vs evaluate-then-accept.  A
+        rejected trial re-steps from the best point using this
+        linearization as its approximation (valid: rejected steps are
+        small) — the scheme pose_optimization uses."""
+        bq, bt, bp, bcost, q, t, p, lam = carry
+        nq, nt, np_, cost = _lm_iteration(prob, kind, q, t, p, lam, mask0,
+                                          cm_mask0, huber_delta2, cg_iters,
+                                          robust)
+        accept = cost < bcost
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-7),
+                        jnp.minimum(lam * 4.0, 1e4))
+        bq = jnp.where(accept, q, bq)
+        bt = jnp.where(accept, t, bt)
+        bp = jnp.where(accept, p, bp)
+        bcost = jnp.where(accept, cost, bcost)
+        # apply the computed se3/point step from the best point
+        dq = lie.quat_mul(nq, lie.quat_conj(q))        # = dT.q
+        dt = nt - lie.quat_rotate(dq, t)               # = dT.t
+        sq = lie.quat_normalize(lie.quat_mul(dq, bq))
+        st = lie.quat_rotate(dq, bt) + dt
+        sp = bp + (np_ - p)
+        return bq, bt, bp, bcost, sq, st, sp, lam
+
+    big = jnp.asarray(jnp.inf, jnp.float32)
+    q0, t0, p0 = prob.cam_q, prob.cam_t, prob.pts
+    bq, bt, bp, bcost, q, t, p, lam = jax.lax.fori_loop(
+        0, iters + 1, body,
+        (q0, t0, p0, big, q0, t0, p0, jnp.asarray(lam0, jnp.float32)))
+
+    _, inlier = window_cost_and_inliers(prob, kind, bq, bt, bp, chi2_th)
+    return WindowResult(cam_q=bq, cam_t=bt, pts=bp,
+                        pm_inlier=inlier & mask0, cost=bcost)

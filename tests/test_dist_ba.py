@@ -71,3 +71,56 @@ def test_batched_pose_opt_sharded():
         t_err = np.linalg.norm(np.asarray(res.t[i]) - t[0])
         assert t_err < 0.02, (i, t_err)
         assert int(res.n_inliers[i]) > 0.9 * M
+
+
+def test_dist_window_ba_matches_local():
+    """Owner-partitioned dense window BA (dist_window_ba) vs the
+    single-device dense solver: same problem, near-identical solution."""
+    from mam3slam_tpu.parallel import dist_window_ba as dwb
+    from mam3slam_tpu.solvers import ba_window as bw
+
+    q, t, pts, oc, op, ouv = make_scene(n_cams=6, n_pts=250, noise_px=0.5,
+                                        seed=7)
+    rng = np.random.default_rng(0)
+    qp, tp = q.copy(), t.copy()
+    tp[2:] += rng.normal(0, 0.05, tp[2:].shape)
+    ptsp = (pts + rng.normal(0, 0.08, pts.shape)).astype(np.float32)
+    cam_free = np.array([False, False] + [True] * (len(q) - 2))
+    cam_params = np.broadcast_to(CAM_PARAMS, (len(q), 8))
+    w = np.ones(len(oc), np.float32)
+
+    prob = dwb.window_problem_from_edges(
+        qp, tp, cam_params, ptsp, oc, op, ouv, w, cam_free,
+        np.ones(len(pts), bool))
+
+    local = bw.run_window_ba(prob, cameras.PINHOLE, iters=10, cg_iters=30)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("shard",))
+    dist = dwb.dist_run_window_ba(prob, mesh, cameras.PINHOLE, iters=10,
+                                  cg_iters=30)
+
+    P = len(pts)
+
+    def rms(res):
+        pt = np.asarray(res.pts)[:P]
+        import mam3slam_tpu.geometry.lie as lie
+        qq = np.asarray(res.cam_q)[: len(q)]
+        tt = np.asarray(res.cam_t)[: len(q)]
+        errs = []
+        for e in range(len(oc)):
+            X = pt[op[e]]
+            pc = np.asarray(lie.quat_rotate(
+                jnp.asarray(qq[oc[e]])[None], jnp.asarray(X)[None]))[0] \
+                + tt[oc[e]]
+            fx, fy, cx, cy = CAM_PARAMS[:4]
+            uv = np.array([fx * pc[0] / pc[2] + cx,
+                           fy * pc[1] / pc[2] + cy])
+            errs.append(uv - ouv[e])
+        return float(np.sqrt(np.mean(np.sum(np.array(errs) ** 2, 1))))
+
+    rms_l = rms(local)
+    rms_d = rms(dist)
+    assert rms_l < 0.8, rms_l
+    assert rms_d < 0.8, rms_d
+    np.testing.assert_allclose(np.asarray(dist.cam_t)[: len(q)],
+                               np.asarray(local.cam_t)[: len(q)],
+                               atol=5e-3)
