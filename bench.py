@@ -242,10 +242,15 @@ def backend_stage_bench():
         lambda: fns["fuse_step"](ms, jnp.asarray(kf), local_mask)[0]), 2)
     out["lba_ms"] = round(_time_it(
         lambda: fns["local_ba"](ms, jnp.asarray(kf)), n=2), 2)
-    # the per-KF mapping epoch = cull + triangulate(8 neighbors, one
-    # dispatch) + fuse + LBA
-    out["mapping_kf_ms"] = round(
-        out["triangulate8_ms"] + out["fuse_ms"] + out["lba_ms"], 2)
+    # the per-KF mapping epoch: cull + triangulate(8 neighbors) + compact
+    # stat refresh + fuse + windowed LBA, ONE fused device program
+    # (slam/system.py mapping_epoch) plus the batched KF-redundancy
+    # dispatch — exactly what _local_mapping runs per inserted keyframe
+    def _epoch():
+        res = fns["mapping_epoch"](ms, jnp.asarray(kf), jnp.asarray(0))
+        fr, nt = fns["kf_redundancy_batch"](res[0], res[5], res[6])
+        return fr
+    out["mapping_kf_ms"] = round(_time_it(_epoch, n=3), 2)
     out["gba_ms"] = round(_time_it(
         lambda: fns["global_ba"](ms, jnp.asarray(0)), n=2), 2)
 
@@ -287,18 +292,68 @@ def backend_stage_bench():
         q, t, s, fixed, edges, iters=20))
     out["pgo256_ms"] = round(_time_it(pgo_fn, n=2), 2)
 
-    # MXU speed-of-light probe: the Hamming bit-matmul at matcher shape
-    from mam3slam_tpu.ops import matching as M
+    # ---- roofline probes (VERDICT r2 #6): amortized ON-CHIP kernel
+    # timings — each probe scan-chains CHAIN dependent iterations inside
+    # one jitted program, so per-dispatch latency (~1.7 ms through the
+    # tunneled backend, measured) amortizes away and the number reflects
+    # device throughput.  v5e peaks: ~197 TFLOP/s bf16 MXU, ~819 GB/s HBM.
+    CHAIN = 32
+    V5E_BF16_TFLOPS = 197.0
+
+    # (1) Hamming bit-matmul at matcher shape [Q=768, D=256] x [M=16384,
+    # D=256] -> min-reduce.  The matcher's real pipeline fuses the
+    # min-reduction, so the 50 MB distance matrix never round-trips HBM:
+    # traffic ~8.8 MB/iter, 6.4 GFLOP/iter => compute-bound on the MXU
+    # (arithmetic intensity ~730 flop/byte >> ridge ~240).
     rngb = np.random.default_rng(2)
     a = jnp.asarray(rngb.integers(0, 2, (768, 256)).astype(np.float32),
                     jnp.bfloat16)
     b = jnp.asarray(rngb.integers(0, 2, (16384, 256)).astype(np.float32),
                     jnp.bfloat16)
-    mm = jax.jit(lambda: jnp.einsum("qd,md->qm", a, b,
-                                    preferred_element_type=jnp.float32))
-    ms_mm = _time_it(mm, n=10)
+
+    @jax.jit
+    def mm_chain(a):
+        def body(a, _):
+            d = jnp.einsum("qd,md->qm", a, b,
+                           preferred_element_type=jnp.float32)
+            best = jnp.min(d, axis=1)                      # fused reduce
+            # feed a scalar back so iterations are dependent (no hoisting)
+            a2 = a + (jnp.sum(best) * 1e-12).astype(jnp.bfloat16)
+            return a2, jnp.sum(best)
+        a, s = jax.lax.scan(body, a, None, length=CHAIN)
+        return jnp.sum(s)
+
+    t_mm = _time_it(lambda: mm_chain(a), n=3) / CHAIN      # ms / matmul
     flops = 768 * 16384 * 256 * 2
-    out["match_matmul_tflops"] = round(flops / (ms_mm / 1000.0) / 1e12, 3)
+    tf = flops / (t_mm / 1e3) / 1e12
+    out["match_matmul_tflops"] = round(tf, 2)
+    out["match_matmul_pct_peak"] = round(100.0 * tf / V5E_BF16_TFLOPS, 1)
+
+    # (2) LBA LM iteration (dense reduced-camera solve) amortized over the
+    # fori_loop inside run_window_ba_dense: (8-iter - 1-iter) / 7.  This
+    # kernel is VPU/bandwidth-bound (small-block jacobian algebra at
+    # ~131k edges, ~0.2 GFLOP/iter over ~100 MB of edge tensors).
+    from mam3slam_tpu.slam import steps as steps_mod
+    from mam3slam_tpu.solvers import ba_window as bw
+    is2 = jnp.asarray(cfg.inv_sigma2)
+    opt = fns["local_mp_mask"]  # noqa: F841  (arena already built above)
+    idxw, _, okw = S.best_covisible(ms, jnp.asarray(kf), cfg.lba_window)
+    wmask = jnp.zeros((ms.kf_valid.shape[0],), bool).at[
+        jnp.where(okw, idxw, kf)].set(True).at[kf].set(True) & ms.kf_valid
+    prob = jax.jit(lambda ms, m: steps_mod.build_window_problem(
+        ms, m, is2, cfg.lba_cam_cap, cfg.lba_pt_cap, with_cm=False))(
+        ms, wmask)
+    t8 = _time_it(lambda: bw.run_window_ba_dense(prob, cfg.cam_kind,
+                                                 iters=8), n=3)
+    t1 = _time_it(lambda: bw.run_window_ba_dense(prob, cfg.cam_kind,
+                                                 iters=1), n=3)
+    out["lba_lm_iter_ms"] = round((t8 - t1) / 7.0, 2)
+
+    # (3) PGO GN step at K=256, amortized: (20-iter - 2-iter) / 18.
+    pgo2 = jax.jit(lambda: pgo_mod.optimize_essential_graph(
+        q, t, s, fixed, edges, iters=2))
+    t_pgo2 = _time_it(lambda: pgo2(), n=3)
+    out["pgo_gn_iter_ms"] = round((out["pgo256_ms"] - t_pgo2) / 18.0, 2)
     return out
 
 

@@ -376,6 +376,92 @@ def _qmat(q):
     return lie.quat_to_matrix(q)
 
 
+def refresh_mp_stats_compact(ms: MapState, idx: jnp.ndarray,
+                             scale_factors: jnp.ndarray) -> MapState:
+    """``refresh_mp_stats`` for a COMPACT index batch ``idx [C]`` (-1 =
+    padding).  A mapping epoch only touches O(F) points (new
+    triangulations + fuse survivors), so recomputing distinctive
+    descriptors / normals / depth bounds over the full arena — the
+    reference updates per-point in ``MapPoint::UpdateNormalAndDepth`` —
+    wastes P/C of the work; this gathers the C affected rows, runs the
+    identical math, and scatters back (unique indices)."""
+    C = idx.shape[0]
+    P, M = ms.mp_obs_kf.shape
+    ok_row = idx >= 0
+    pi = jnp.clip(idx, 0)
+    obs_kf = ms.mp_obs_kf[pi]                              # [C, M]
+    obs_feat = ms.mp_obs_feat[pi]
+    nobs = ms.mp_nobs[pi]
+    obs_ok = (jnp.arange(M)[None, :] < nobs[:, None]) & (obs_kf >= 0)
+    kf = jnp.clip(obs_kf, 0)
+    obs_ok = obs_ok & ms.kf_valid[kf]
+    feat = jnp.clip(obs_feat, 0)
+
+    descs = ms.kf_feat_desc[kf, feat]                      # [C, M, 32]
+    x = jnp.bitwise_xor(descs[:, :, None, :], descs[:, None, :, :])
+    pair = jnp.sum(jax.lax.population_count(x).astype(jnp.int32), axis=-1)
+    big = jnp.int32(1 << 15)
+    pair = jnp.where(obs_ok[:, :, None] & obs_ok[:, None, :], pair, big)
+    sorted_pair = jnp.sort(pair, axis=-1)
+    n_ok = jnp.sum(obs_ok, axis=-1)
+    med_idx = jnp.clip((n_ok[:, None] - 1) // 2, 0, M - 1)
+    med = jnp.take_along_axis(
+        sorted_pair,
+        jnp.broadcast_to(med_idx[..., None], pair.shape[:2] + (1,)),
+        axis=-1)[..., 0]
+    med = jnp.where(obs_ok, med, big)
+    best_obs = jnp.argmin(med, axis=-1)
+    new_desc = descs[jnp.arange(C), best_obs]
+
+    from mam3slam_tpu.geometry import lie
+    q_o = ms.kf_q[kf]                                      # [C, M, 4]
+    t_o = ms.kf_t[kf]
+    cam_center = -lie.quat_rotate(lie.quat_conj(q_o), t_o)
+    pos = ms.mp_pos[pi]
+    vec = pos[:, None, :] - cam_center
+    dist = jnp.linalg.norm(vec, axis=-1)
+    dirs = vec / jnp.maximum(dist[..., None], 1e-9)
+    normal = jnp.sum(jnp.where(obs_ok[..., None], dirs, 0.0), axis=1)
+    normal = normal / jnp.maximum(
+        jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9)
+
+    first_slot = jnp.argmax(obs_ok, axis=-1)
+    ref_kf = obs_kf[jnp.arange(C), first_slot]
+    ref_feat = obs_feat[jnp.arange(C), first_slot]
+    ref_level = ms.kf_feat_level[jnp.clip(ref_kf, 0), jnp.clip(ref_feat, 0)]
+    ref_dist = dist[jnp.arange(C), first_slot]
+    lvl_factor = scale_factors[jnp.clip(ref_level, 0)]
+    n_levels = scale_factors.shape[0]
+    max_dist = ref_dist * lvl_factor
+    min_dist = max_dist / scale_factors[n_levels - 1]
+
+    upd = ok_row & (n_ok > 0) & ms.mp_valid[pi]
+    # scatter back (inactive rows routed to a scratch row)
+    w = jnp.where(upd, pi, P)
+    pad = lambda a, fill: jnp.concatenate(
+        [a, jnp.zeros((1,) + a.shape[1:], a.dtype)], 0)
+    mp_desc = pad(ms.mp_desc, 0).at[w].set(
+        jnp.where(upd[:, None], new_desc, pad(ms.mp_desc, 0)[w]))[:P]
+    mp_normal = pad(ms.mp_normal, 0).at[w].set(
+        jnp.where(upd[:, None], normal, pad(ms.mp_normal, 0)[w]))[:P]
+    mp_min = pad(ms.mp_min_dist, 0).at[w].set(
+        jnp.where(upd, min_dist, pad(ms.mp_min_dist, 0)[w]))[:P]
+    mp_max = pad(ms.mp_max_dist, 0).at[w].set(
+        jnp.where(upd, max_dist, pad(ms.mp_max_dist, 0)[w]))[:P]
+    mp_ref = pad(ms.mp_ref_kf, 0).at[w].set(
+        jnp.where(upd, ref_kf, pad(ms.mp_ref_kf, 0)[w]))[:P]
+    return ms._replace(mp_desc=mp_desc, mp_normal=mp_normal,
+                       mp_min_dist=mp_min, mp_max_dist=mp_max,
+                       mp_ref_kf=mp_ref)
+
+
+def compact_indices(mask: jnp.ndarray, cap: int) -> jnp.ndarray:
+    """First ``cap`` set indices of ``mask`` (stable), -1-padded [cap]."""
+    order = jnp.argsort(~mask, stable=True).astype(jnp.int32)
+    sel = order[:cap]
+    return jnp.where(mask[sel], sel, -1)
+
+
 def remove_map_points(ms: MapState, kill_mask: jnp.ndarray) -> MapState:
     """SetBadFlag for a batch of map points: clear forward links (scan all
     KF feature tables), reverse table, and validity."""

@@ -65,9 +65,9 @@ class BackgroundGBA:
             anchor = jnp.argmin(jnp.where(in_map, ms.kf_seq, S.BIG_SEQ))
             opt_mask = in_map.at[anchor].set(False)
             prob = steps.build_window_problem(ms, opt_mask, is2,
-                                              cfg.max_kf, cfg.max_mp)
-            res = bw.run_window_ba(prob, kind, iters=iters,
-                                   cg_iters=cg_iters)
+                                              cfg.max_kf, cfg.max_mp,
+                                              with_cm=False)
+            res = bw.run_window_ba_dense(prob, kind, iters=iters)
             ms2 = steps.apply_window_result(ms, prob, res)
             return (ms2.kf_q, ms2.kf_t, ms2.mp_pos, opt_mask,
                     steps.window_pt_mask(ms, prob))

@@ -303,7 +303,11 @@ def fuse_into_kf(ms: S.MapState, kf, mp_mask, kind: int,
     ms = S.mp_add_observation(
         ms, jnp.arange(P, dtype=jnp.int32),
         jnp.full((P,), kf, jnp.int32), jnp.clip(res.idx, 0), add_ok)
-    return ms, jnp.sum(ok.astype(jnp.int32))
+    # points whose observation sets changed (survivor of a replace, or a
+    # new observation) — the compact-stat-refresh set
+    touched = add_ok | jnp.zeros((P,), bool).at[
+        jnp.where(rep_ok, jnp.clip(cur_mp_at_feat, 0), P - 1)].max(rep_ok)
+    return ms, jnp.sum(ok.astype(jnp.int32)), touched
 
 
 # ---------------------------------------------------------------------------
@@ -415,7 +419,7 @@ def apply_ba_result(ms: S.MapState, res: ba_mod.BAResult, opt_kf_mask,
 # ---------------------------------------------------------------------------
 
 def build_window_problem(ms: S.MapState, opt_mask, inv_sigma2,
-                         cam_cap: int, pt_cap: int):
+                         cam_cap: int, pt_cap: int, with_cm: bool = True):
     """Assemble a ``WindowProblem`` (solvers/ba_window.py): free cameras
     compacted to ``[cam_cap]``, window points to ``[pt_cap]``, edges laid
     out densely camera-major ``[Kc, F]`` AND point-major ``[Pw, M]`` from
@@ -477,19 +481,29 @@ def build_window_problem(ms: S.MapState, opt_mask, inv_sigma2,
 
     # --- camera-major view; validity + obs-slot bridge derived FROM the
     # pm view by a dense compare over M, so both views describe exactly
-    # the same edge set and cm edges know their pm slot (gather bridge)
-    cm_fmp = fmp[ci]                                        # [Kc, F]
-    cm_pt = jnp.where(cm_fmp >= 0, pt_slot_of[jnp.clip(cm_fmp, 0)], -1)
-    cm_uv = ms.kf_feat_uv[ci]
-    cm_w = inv_sigma2[ms.kf_feat_level[ci]]
-    ptc = jnp.clip(cm_pt, 0)
-    hit = (pm_valid[ptc]                                    # [Kc, F, M]
-           & (pm_kf[ptc] == cam_idx[:, None, None])
-           & (pm_feat[ptc] == jnp.arange(F, dtype=jnp.int32)[None, :,
-                                                             None]))
-    cm_mslot = jnp.argmax(hit, axis=-1).astype(jnp.int32)
-    cm_valid = (jnp.any(hit, axis=-1) & (cm_pt >= 0)
-                & cam_valid[:, None])
+    # the same edge set and cm edges know their pm slot (gather bridge).
+    # The dense reduced-camera solver (ba_window.run_window_ba_dense) is
+    # pm-only — ``with_cm=False`` skips this block (the [Kc, F, M] bridge
+    # compare is the build's most expensive op) and emits 0-row cm arrays.
+    if with_cm:
+        cm_fmp = fmp[ci]                                    # [Kc, F]
+        cm_pt = jnp.where(cm_fmp >= 0, pt_slot_of[jnp.clip(cm_fmp, 0)], -1)
+        cm_uv = ms.kf_feat_uv[ci]
+        cm_w = inv_sigma2[ms.kf_feat_level[ci]]
+        ptc = jnp.clip(cm_pt, 0)
+        hit = (pm_valid[ptc]                                # [Kc, F, M]
+               & (pm_kf[ptc] == cam_idx[:, None, None])
+               & (pm_feat[ptc] == jnp.arange(F, dtype=jnp.int32)[None, :,
+                                                                 None]))
+        cm_mslot = jnp.argmax(hit, axis=-1).astype(jnp.int32)
+        cm_valid = (jnp.any(hit, axis=-1) & (cm_pt >= 0)
+                    & cam_valid[:, None])
+    else:
+        cm_uv = jnp.zeros((0, F, 2), jnp.float32)
+        cm_w = jnp.zeros((0, F), jnp.float32)
+        cm_pt = jnp.zeros((0, F), jnp.int32)
+        cm_mslot = jnp.zeros((0, F), jnp.int32)
+        cm_valid = jnp.zeros((0, F), bool)
 
     return bw.WindowProblem(
         cam_idx=cam_idx, cam_valid=cam_valid,
@@ -501,6 +515,40 @@ def build_window_problem(ms: S.MapState, opt_mask, inv_sigma2,
         pm_uv=pm_uv, pm_w=pm_w, pm_valid=pm_valid,
         pm_q0=pm_q0, pm_t0=pm_t0, pm_params0=pm_params0,
         cam_slot_of=cam_slot_of, pt_slot_of=pt_slot_of)
+
+
+def repair_window_reverse_obs(ms: S.MapState, prob,
+                              drop_pm: jnp.ndarray) -> S.MapState:
+    """Targeted reverse-observation repair after an outlier drop: rewrite
+    ONLY the window points' ``mp_obs_*`` rows (compacting out dropped +
+    stale entries) instead of re-sorting the full [K, F] forward table
+    (``rebuild_reverse_obs`` — 400k-element argsort per call).  The pm
+    rows were gathered from these exact obs rows at build, so compaction
+    is a per-row stable sort over M."""
+    P, Mo = ms.mp_obs_kf.shape
+    keep = prob.pm_valid & ~drop_pm                        # [Pw, M]
+    order = jnp.argsort(~keep, axis=1, stable=True)        # keepers first
+    kf_s = jnp.take_along_axis(prob.pm_kf, order, axis=1)
+    ft_s = jnp.take_along_axis(prob.pm_feat, order, axis=1)
+    n_keep = jnp.sum(keep, axis=1)                         # [Pw]
+    live = jnp.arange(Mo)[None, :] < n_keep[:, None]
+    new_kf = jnp.where(live, kf_s, S.NO_KF)
+    new_ft = jnp.where(live, ft_s, -1)
+    # scatter rows back (unique arena targets; padding rows -> scratch)
+    row_ok = prob.pt_idx >= 0
+    w = jnp.where(row_ok, prob.pt_idx, P)
+    obs_kf = jnp.concatenate([ms.mp_obs_kf,
+                              jnp.zeros((1, Mo), jnp.int32)], 0)
+    obs_ft = jnp.concatenate([ms.mp_obs_feat,
+                              jnp.zeros((1, Mo), jnp.int32)], 0)
+    nobs = jnp.concatenate([ms.mp_nobs, jnp.zeros((1,), jnp.int32)], 0)
+    obs_kf = obs_kf.at[w].set(jnp.where(row_ok[:, None], new_kf,
+                                        obs_kf[w]))[:P]
+    obs_ft = obs_ft.at[w].set(jnp.where(row_ok[:, None], new_ft,
+                                        obs_ft[w]))[:P]
+    nobs = nobs.at[w].set(jnp.where(row_ok, n_keep, nobs[w]))[:P]
+    return ms._replace(mp_obs_kf=obs_kf, mp_obs_feat=obs_ft,
+                       mp_nobs=nobs)
 
 
 def window_pt_mask(ms: S.MapState, prob) -> jnp.ndarray:

@@ -82,7 +82,8 @@ class SlamConfig:
     # mapping
     n_triangulate_neighbors: int = 8
     lba_window: int = 16
-    lba_iters: int = 8
+    lba_iters: int = 6
+    lba_polish_iters: int = 2
     lba_cg_iters: int = 30
     # dense window-BA caps (solvers/ba_window.py): free cameras beyond
     # lba_cam_cap / window points beyond lba_pt_cap stay fixed
@@ -222,7 +223,7 @@ def _compiled(cfg: SlamConfig, kind: int):
 
     @jax.jit
     def fuse_step(ms, kf, mp_mask):
-        ms, n = steps.fuse_into_kf(ms, kf, mp_mask, kind, W, H, sf)
+        ms, n, _ = steps.fuse_into_kf(ms, kf, mp_mask, kind, W, H, sf)
         ms = S.rebuild_reverse_obs(ms)
         ms = S.update_covis_for_kf(ms, kf)
         return ms, n
@@ -232,13 +233,14 @@ def _compiled(cfg: SlamConfig, kind: int):
         return S.refresh_mp_stats(ms, mp_mask, sf)
 
     def _lba_core(ms, opt_mask):
-        """Shared windowed-BA body on the dense scatter-free solver
-        (solvers/ba_window.py): assemble the two-view problem, robust LM +
-        inlier-only polish, write back, drop outlier observations."""
+        """Shared windowed-BA body on the dense reduced-camera solver
+        (solvers/ba_window.py run_window_ba_dense): assemble the pm-only
+        two-view problem, robust LM + inlier-only polish, write back, drop
+        outlier observations with a targeted reverse-obs repair."""
         prob = steps.build_window_problem(ms, opt_mask, is2,
-                                          cfg.lba_cam_cap, cfg.lba_pt_cap)
-        res = bw.run_window_ba(prob, kind, iters=cfg.lba_iters,
-                               cg_iters=cfg.lba_cg_iters)
+                                          cfg.lba_cam_cap, cfg.lba_pt_cap,
+                                          with_cm=False)
+        res = bw.run_window_ba_dense(prob, kind, iters=cfg.lba_iters)
         # inlier-floor guard: a badly initialized window classifies (almost)
         # every edge as outlier; polishing on an empty edge set and then
         # dropping 100% of the observations would destroy the region.  When
@@ -253,9 +255,9 @@ def _compiled(cfg: SlamConfig, kind: int):
         polish_mask = res.pm_inlier | (~healthy & prob.pm_valid)
         # robust=True is exact on true inliers (chi2<=delta2 => Huber w=1),
         # and keeps the unhealthy branch from diverging
-        res2 = bw.run_window_ba(
+        res2 = bw.run_window_ba_dense(
             prob._replace(cam_q=res.cam_q, cam_t=res.cam_t, pts=res.pts),
-            kind, iters=4, cg_iters=cfg.lba_cg_iters,
+            kind, iters=cfg.lba_polish_iters,
             pm_edge_mask=polish_mask, robust=True)
         # drop observations whose edges were classified outliers — gated on
         # the final inlier fraction clearing the floor
@@ -263,7 +265,7 @@ def _compiled(cfg: SlamConfig, kind: int):
                     / jnp.maximum(n_valid, 1).astype(jnp.float32))
         drop = prob.pm_valid & ~res2.pm_inlier & (frac_fin >= 0.4)
         ms = steps.apply_window_result(ms, prob, res2, drop_pm=drop)
-        ms = S.rebuild_reverse_obs(ms)
+        ms = steps.repair_window_reverse_obs(ms, prob, drop)
         return ms, steps.window_pt_mask(ms, prob)
 
     def _window_mask(ms, center_kf):
@@ -308,8 +310,9 @@ def _compiled(cfg: SlamConfig, kind: int):
         anchor1 = jnp.argmin(jnp.where(in_map, ms.kf_seq, S.BIG_SEQ))
         opt_mask = in_map.at[anchor1].set(False)
         prob = steps.build_window_problem(ms, opt_mask, is2,
-                                          cfg.max_kf, cfg.max_mp)
-        res = bw.run_window_ba(prob, kind, iters=10, cg_iters=40)
+                                          cfg.max_kf, cfg.max_mp,
+                                          with_cm=False)
+        res = bw.run_window_ba_dense(prob, kind, iters=10)
         ms = steps.apply_window_result(ms, prob, res)
         return ms
 
@@ -371,9 +374,10 @@ def _compiled(cfg: SlamConfig, kind: int):
         in_map_kf = ms.kf_valid & (ms.kf_map == map_id)
         in_map_mp = ms.mp_valid & (ms.mp_map == map_id)
         opt_mask = in_map_kf.at[kf1].set(False)
-        prob = steps.build_local_ba_problem(ms, opt_mask, is2)
-        res = ba_mod.run_ba(prob, kind, iters=20, cg_iters=20)
-        ms = steps.apply_ba_result(ms, res, opt_mask, prob.pt_free)
+        prob = steps.build_window_problem(ms, opt_mask, is2, 4, cfg.n_feat,
+                                          with_cm=False)
+        res = bw.run_window_ba_dense(prob, kind, iters=20)
+        ms = steps.apply_window_result(ms, prob, res)
         # median depth in the first KF's frame
         Xc = lie.quat_rotate(ms.kf_q[kf1][None], ms.mp_pos) + ms.kf_t[kf1][None]
         depths = jnp.where(in_map_mp, Xc[:, 2], jnp.nan)
@@ -399,15 +403,57 @@ def _compiled(cfg: SlamConfig, kind: int):
                                 frame.uv, frame.level, frame.angle,
                                 frame.desc, frame.valid, feat_mp,
                                 cam_params=cam_params)
-        ms = S.refresh_mp_stats(
-            ms, jnp.zeros((ms.mp_valid.shape[0],), bool).at[
-                jnp.clip(feat_mp, 0)].set(feat_mp >= 0), sf)
+        touched = jnp.zeros((ms.mp_valid.shape[0],), bool).at[
+            jnp.clip(feat_mp, 0)].set(feat_mp >= 0)
+        ms = S.refresh_mp_stats_compact(
+            ms, S.compact_indices(touched, cfg.n_feat), sf)
         return ms, kf
+
+    @jax.jit
+    def mapping_epoch(ms, kf, map_id):
+        """The full per-KF LocalMapping body (reference
+        LocalMapping::Run, src/LocalMapping.cc:77-390) as ONE device
+        program: MP culling -> 8-neighbor triangulation -> compact stat
+        refresh -> fuse -> windowed LBA.  One dispatch instead of ~10
+        (host->device launch latency is ~1.7 ms each on this backend);
+        stat refreshes are compact (the epoch touches O(F) points, the
+        reference updates per-point — recomputing the full arena wasted
+        P/F of the work).  Also returns the top-10 covisibles for the
+        host's KeyFrameCulling decision (saves another round trip)."""
+        ms, n_culled = cull_map_points(ms, kf)
+        nb_idx, nb_w, nb_ok = S.best_covisible(
+            ms, kf, cfg.n_triangulate_neighbors)
+        before = ms.mp_valid
+        ms, n_new, n_drop = triangulate_multi_step(ms, kf, nb_idx, nb_ok,
+                                                   map_id)
+        new_pts = ms.mp_valid & ~before
+        ms = S.refresh_mp_stats_compact(
+            ms, S.compact_indices(new_pts, cfg.n_feat), sf)
+        local_mask = local_mp_mask(ms, kf, 16)
+        ms, n_fused, touched = steps.fuse_into_kf(ms, kf, local_mask,
+                                                  kind, W, H, sf)
+        ms = S.rebuild_reverse_obs(ms)
+        ms = S.update_covis_for_kf(ms, kf)
+        ms = S.refresh_mp_stats_compact(
+            ms, S.compact_indices(touched | new_pts, 2 * cfg.n_feat), sf)
+        ms = local_ba(ms, kf)
+        cull_idx, cull_w, cull_ok = S.best_covisible(ms, kf, 10)
+        return (ms, n_culled, n_new, n_drop, n_fused, cull_idx, cull_ok)
+
+    @jax.jit
+    def kf_redundancy_batch(ms, cands, cand_ok):
+        """Redundancy stats for ALL culling candidates in one dispatch
+        (the per-candidate host loop paid a launch each)."""
+        frac, ntr = jax.vmap(
+            lambda c: steps.keyframe_redundancy(ms, jnp.clip(c, 0)))(cands)
+        return (jnp.where(cand_ok, frac, 0.0),
+                jnp.where(cand_ok, ntr, 0))
 
     return dict(match_and_pose=match_and_pose, track_ref_kf=track_ref_kf,
                 local_mp_mask=local_mp_mask,
                 kf_redundancy=kf_redundancy, remove_kf=remove_kf,
-                global_ba=global_ba,
+                global_ba=global_ba, mapping_epoch=mapping_epoch,
+                kf_redundancy_batch=kf_redundancy_batch,
                 update_found_visible=update_found_visible,
                 init_match=init_match, reconstruct=reconstruct,
                 triangulate_step=triangulate_step,
@@ -926,19 +972,14 @@ class SlamSystem:
 
     # ------------------------------------------------------------------
     def _local_mapping(self, a: AgentState, kf: int):
-        """LocalMapping::Run body for one keyframe (reference §3.3)."""
+        """LocalMapping::Run body for one keyframe (reference §3.3) —
+        one fused device program (``mapping_epoch``) plus the host-side
+        KeyFrameCulling decision (one batched redundancy dispatch)."""
         import time as _time
         _t0 = _time.perf_counter()
-        cfg = self.cfg
-        ms = self.ms
-        # map point culling
-        ms, n_culled = self.fns["cull_map_points"](ms, jnp.asarray(kf))
-        # triangulate with ALL top covisible neighbors in one dispatch
-        idx, w, ok = S.best_covisible(ms, jnp.asarray(kf),
-                                      cfg.n_triangulate_neighbors)
-        ms, n, n_drop = self.fns["triangulate_multi_step"](
-            ms, jnp.asarray(kf), idx, ok, jnp.asarray(a.map_id))
-        n_new = int(n)
+        (ms, n_culled, n, n_drop, n_fused, idx,
+         ok) = self.fns["mapping_epoch"](self.ms, jnp.asarray(kf),
+                                         jnp.asarray(a.map_id))
         n_drop = int(n_drop)
         if n_drop:
             if self.mp_dropped == 0:
@@ -946,20 +987,15 @@ class SlamSystem:
                     f"MP_ARENA_FULL agent={a.agent_id} dropping "
                     f"triangulations (raise SlamConfig.max_mp)")
             self.mp_dropped += n_drop
-        ms = self.fns["refresh_stats"](ms, ms.mp_valid)
-        # fuse with neighborhood map points
-        local_mask = self.fns["local_mp_mask"](ms, jnp.asarray(kf), 16)
-        ms, n_fused = self.fns["fuse_step"](ms, jnp.asarray(kf),
-                                            local_mask)
-        ms = self.fns["refresh_stats"](ms, ms.mp_valid)
-        # local BA
-        if int(ms.n_kf) > 2:
-            ms = self.fns["local_ba"](ms, jnp.asarray(kf))
 
         # keyframe culling over the covisible window (reference
         # KeyFrameCulling: >=90% of tracked points redundant in >=3 other
-        # KFs at same/finer scale; bail after a couple per pass)
-        idx, w, ok = S.best_covisible(ms, jnp.asarray(kf), 10)
+        # KFs at same/finer scale; bail after a couple per pass).
+        # Redundancy for every candidate is computed in ONE dispatch; after
+        # an actual removal the remaining candidates are re-batched (an
+        # erasure lowers its neighbors' redundancy — scoring the 2nd cull
+        # on stale stats over-culls, which starves small maps below the
+        # server's min_kfs_in_map detection gate).
         idx_np, ok_np = np.asarray(idx), np.asarray(ok)
         kf_map_np = np.asarray(ms.kf_map)
         kf_valid_np = np.asarray(ms.kf_valid)
@@ -979,15 +1015,22 @@ class SlamSystem:
         seq_np = np.where(in_map, np.asarray(ms.kf_seq), 1 << 30)
         anchors = np.argsort(seq_np, kind="stable")[:2]
         protected.update(int(x) for x in anchors)
+        frac_b, ntr_b = self.fns["kf_redundancy_batch"](ms, idx, ok)
+        frac_np, ntr_np = np.asarray(frac_b), np.asarray(ntr_b)
         culled = 0
+        stale = False
         for j in range(len(idx_np)):
             if not ok_np[j]:
                 continue
             cand = int(idx_np[j])
             if cand in protected:
                 continue
-            frac, ntr = self.fns["kf_redundancy"](ms, jnp.asarray(cand))
-            if float(frac) >= 0.9 and int(ntr) > 20:
+            if stale:  # re-score on the post-removal state
+                frac_b, ntr_b = self.fns["kf_redundancy_batch"](ms, idx,
+                                                                ok)
+                frac_np, ntr_np = np.asarray(frac_b), np.asarray(ntr_b)
+                stale = False
+            if float(frac_np[j]) >= 0.9 and int(ntr_np[j]) > 20:
                 parent = int(ms.kf_parent[cand])
                 if parent >= 0:
                     T_c = lie.SE3(ms.kf_q[cand], ms.kf_t[cand])
@@ -1009,6 +1052,7 @@ class SlamSystem:
                                                     q_n, t_n, row[4])
                 ms = self.fns["remove_kf"](ms, jnp.asarray(cand))
                 culled += 1
+                stale = True
                 if culled >= 2:
                     break
         self.ms = ms

@@ -172,6 +172,23 @@ def _spd_inv6(A):
     return jnp.linalg.inv(A + 1e-8 * jnp.eye(6, dtype=A.dtype))
 
 
+def _chol3(A):
+    """Closed-form Cholesky of batched 3x3 SPD blocks (A = L L^T, L lower).
+    Fully vectorized — used to factor ``Hpp^-1`` for the explicit Schur
+    product ``Z Hpp^-1 Z^T = (Z L)(Z L)^T``."""
+    a11 = jnp.sqrt(jnp.maximum(A[..., 0, 0], 1e-20))
+    l21 = A[..., 1, 0] / a11
+    l31 = A[..., 2, 0] / a11
+    l22 = jnp.sqrt(jnp.maximum(A[..., 1, 1] - l21 * l21, 1e-20))
+    l32 = (A[..., 2, 1] - l31 * l21) / l22
+    l33 = jnp.sqrt(jnp.maximum(A[..., 2, 2] - l31 * l31 - l32 * l32,
+                               1e-20))
+    z = jnp.zeros_like(a11)
+    return jnp.stack([jnp.stack([a11, z, z], -1),
+                      jnp.stack([l21, l22, z], -1),
+                      jnp.stack([l31, l32, l33], -1)], -2)
+
+
 def window_cost_and_inliers(prob: WindowProblem, kind, cam_q, cam_t, pts,
                             chi2_th: float = CHI2_MONO):
     """Robust cost + chi2 inlier mask over the point-major edge set (which
@@ -366,5 +383,163 @@ def run_window_ba(prob: WindowProblem, kind: int, iters: int = 10,
         (q0, t0, p0, big, q0, t0, p0, jnp.asarray(lam0, jnp.float32)))
 
     _, inlier = window_cost_and_inliers(prob, kind, bq, bt, bp, chi2_th)
+    return WindowResult(cam_q=bq, cam_t=bt, pts=bp,
+                        pm_inlier=inlier & mask0, cost=bcost)
+
+
+# ---------------------------------------------------------------------------
+# dense reduced-camera path (single chip; no CG)
+# ---------------------------------------------------------------------------
+
+def pm_linearize_all(prob: WindowProblem, kind, cam_q, cam_t, pts):
+    """Point-major linearization of EVERY edge (free + fixed cameras in
+    one pass): free-cam edges read the live camera state through
+    ``pm_cslot``, fixed-cam edges read the stored pose snapshots.  Returns
+    r [Pw,M,2], Jp [Pw,M,2,3], Jc [Pw,M,2,6] (zeroed on fixed edges),
+    depth_ok."""
+    is_free = prob.pm_cslot >= 0
+    csl = jnp.clip(prob.pm_cslot, 0)
+    q = jnp.where(is_free[..., None], cam_q[csl], prob.pm_q0)
+    t = jnp.where(is_free[..., None], cam_t[csl], prob.pm_t0)
+    Xc = lie.quat_rotate(q, pts[:, None, :]) + t
+    cam = cam_mod.Camera(prob.pm_params0, kind)
+    pred = cam_mod.project_ideal(cam, Xc)
+    r = pred - prob.pm_uv
+    dpi = cam_mod.project_jac(cam, Xc)
+    R = lie.quat_to_matrix(q)
+    Jp = dpi @ R
+    Jc = jnp.concatenate([dpi, -dpi @ lie.hat(Xc)], axis=-1)
+    Jc = jnp.where(is_free[..., None, None], Jc, 0.0)
+    return r, Jp, Jc, Xc[..., 2] > 1e-3
+
+
+def _lm_iteration_dense(prob: WindowProblem, kind, cam_q, cam_t, pts, lam,
+                        pm_edge_mask, huber_delta2, robust):
+    """One LM step solving the REDUCED camera system exactly.
+
+    The implicit-Schur CG solver spends ~1 ms per CG matvec on chains of
+    small-tensor ops; at window scale (Kc <= ~128 free cameras) the reduced
+    system is only [6Kc, 6Kc], so it is far cheaper to FORM it explicitly —
+    every reduction is a one-hot matmul that rides the MXU — and factor it
+    with one dense Cholesky.  Per iteration:
+
+      Hcc[k]   = sum_e 1[c_e=k] Jc^T W Jc          (one-hot matmul)
+      Z[p,k]   = sum_m 1[c_pm=k] Jc^T W Jp         [Pw, Kc, 6, 3]
+      coupling = sum_p Z_p Hpp^-1 Z_p^T = (Z L)(Z L)^T   (ONE big matmul)
+      H_red    = blockdiag(Hcc) - coupling;  dx_c = chol_solve(H_red, b)
+
+    Identical semantics to ``_lm_iteration`` (same damping, robust
+    weights, trial bookkeeping) with cg_iters -> exact."""
+    Pw, M = prob.pm_uv.shape[:2]
+    Kc = prob.cam_q.shape[0]
+    is_free = prob.pm_cslot >= 0
+
+    r, Jp, Jc, dok = pm_linearize_all(prob, kind, cam_q, cam_t, pts)
+    chi2 = prob.pm_w * jnp.sum(r * r, axis=-1)
+    cost_here = jnp.sum(jnp.where(pm_edge_mask & dok,
+                                  _rho(chi2, huber_delta2), 0.0))
+    w_rob = _huber_w(chi2, huber_delta2) if robust \
+        else jnp.ones_like(chi2)
+    w = jnp.where(pm_edge_mask & dok, prob.pm_w * w_rob, 0.0)
+
+    wJp = Jp * w[..., None, None]
+    g_p = jnp.einsum("pmij,pmi->pj", wJp, r)               # [Pw, 3]
+    Hpp = jnp.einsum("pmia,pmib->pab", wJp, Jp)            # [Pw, 3, 3]
+    wJc = Jc * w[..., None, None]
+    g_c_e = jnp.einsum("pmij,pmi->pmj", wJc, r)            # [Pw, M, 6]
+    Hcc_e = jnp.einsum("pmia,pmib->pmab", wJc, Jc)         # [Pw, M, 6, 6]
+    Wblk = jnp.einsum("pmia,pmib->pmab", wJc, Jp)          # [Pw, M, 6, 3]
+
+    # one-hot camera incidence (fixed edges have Jc = 0, but mask anyway)
+    O = ((prob.pm_cslot[..., None] == jnp.arange(Kc, dtype=jnp.int32))
+         & is_free[..., None]).astype(jnp.float32)         # [Pw, M, Kc]
+    g_c = jnp.einsum("pmk,pmj->kj", O, g_c_e)              # [Kc, 6]
+    Hcc = jnp.einsum("pmk,pmab->kab", O, Hcc_e)            # [Kc, 6, 6]
+
+    def damp(H, free, dim):
+        diag = jnp.diagonal(H, axis1=-2, axis2=-1)
+        add = lam * jnp.maximum(diag, 1e-6) + 1e-8
+        H = H + add[..., None] * jnp.eye(dim, dtype=H.dtype)
+        return jnp.where(free[:, None, None], H,
+                         jnp.eye(dim, dtype=H.dtype))
+
+    Hcc_l = damp(Hcc, prob.cam_valid, 6)
+    Hpp_inv = _spd_inv3(damp(Hpp, prob.pt_valid, 3))
+
+    # explicit Schur coupling via one big MXU matmul
+    Z = jnp.einsum("pmk,pmab->pkab", O, Wblk)              # [Pw, Kc, 6, 3]
+    L = _chol3(Hpp_inv)                                    # [Pw, 3, 3]
+    Zl = jnp.einsum("pkab,pbc->pkac", Z, L)
+    Zf = Zl.transpose(0, 3, 1, 2).reshape(Pw * 3, Kc * 6)
+    C = Zf.T @ Zf                                          # [6Kc, 6Kc]
+
+    ii = jnp.arange(Kc)
+    H_red = (-C).reshape(Kc, 6, Kc, 6).at[ii, :, ii, :].add(
+        Hcc_l, unique_indices=True).reshape(Kc * 6, Kc * 6)
+    z0 = jnp.einsum("pab,pb->pa", Hpp_inv, g_p)
+    b = -g_c + jnp.einsum("pkab,pb->ka", Z, z0)            # [Kc, 6]
+
+    chol = jax.scipy.linalg.cho_factor(H_red)
+    dx = jax.scipy.linalg.cho_solve(chol, b.reshape(-1)).reshape(Kc, 6)
+    dx_c = jnp.where(prob.cam_valid[:, None], dx, 0.0)
+    dx_c = jnp.where(jnp.all(jnp.isfinite(dx_c)), dx_c, 0.0)
+
+    # point back-substitution
+    vc = dx_c[jnp.clip(prob.pm_cslot, 0)]                  # [Pw, M, 6]
+    u = jnp.einsum("pmab,pma->pb", Wblk, vc)
+    dx_p = jnp.einsum("pab,pb->pa", Hpp_inv, -g_p - u)
+    dx_p = jnp.where(prob.pt_valid[:, None], dx_p, 0.0)
+    dx_p = jnp.where(jnp.isfinite(dx_p), dx_p, 0.0)
+
+    dT = lie.se3_exp(dx_c)
+    new_q = lie.quat_normalize(lie.quat_mul(dT.q, cam_q))
+    new_t = lie.quat_rotate(dT.q, cam_t) + dT.t
+    return new_q, new_t, pts + dx_p, cost_here
+
+
+def run_window_ba_dense(prob: WindowProblem, kind: int, iters: int = 10,
+                        huber_delta2: float = CHI2_MONO,
+                        robust: bool = True, chi2_th: float = CHI2_MONO,
+                        pm_edge_mask=None,
+                        lam0: float = 1e-4) -> WindowResult:
+    """LM loop on the dense reduced-camera solver — the single-chip hot
+    path (local BA / welding BA / global BA).  Same accept/reject scheme
+    as ``run_window_ba``; the final cost/inlier pass reuses the pm-only
+    linearization so the camera-major view is never touched (problems may
+    be built with ``with_cm=False``)."""
+    mask0 = prob.pm_valid if pm_edge_mask is None \
+        else (prob.pm_valid & pm_edge_mask)
+
+    def final_cost_inliers(q, t, p):
+        r, _, _, dok = pm_linearize_all(prob, kind, q, t, p)
+        chi2 = prob.pm_w * jnp.sum(r * r, axis=-1)
+        active = prob.pm_valid & dok
+        inlier = active & (chi2 < chi2_th)
+        return inlier
+
+    def body(_, carry):
+        bq, bt, bp, bcost, q, t, p, lam = carry
+        nq, nt, np_, cost = _lm_iteration_dense(
+            prob, kind, q, t, p, lam, mask0, huber_delta2, robust)
+        accept = cost < bcost
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-7),
+                        jnp.minimum(lam * 4.0, 1e4))
+        bq = jnp.where(accept, q, bq)
+        bt = jnp.where(accept, t, bt)
+        bp = jnp.where(accept, p, bp)
+        bcost = jnp.where(accept, cost, bcost)
+        dq = lie.quat_mul(nq, lie.quat_conj(q))
+        dt = nt - lie.quat_rotate(dq, t)
+        sq = lie.quat_normalize(lie.quat_mul(dq, bq))
+        st = lie.quat_rotate(dq, bt) + dt
+        sp = bp + (np_ - p)
+        return bq, bt, bp, bcost, sq, st, sp, lam
+
+    big = jnp.asarray(jnp.inf, jnp.float32)
+    q0, t0, p0 = prob.cam_q, prob.cam_t, prob.pts
+    bq, bt, bp, bcost, q, t, p, lam = jax.lax.fori_loop(
+        0, iters + 1, body,
+        (q0, t0, p0, big, q0, t0, p0, jnp.asarray(lam0, jnp.float32)))
+    inlier = final_cost_inliers(bq, bt, bp)
     return WindowResult(cam_q=bq, cam_t=bt, pts=bp,
                         pm_inlier=inlier & mask0, cost=bcost)
