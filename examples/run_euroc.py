@@ -68,6 +68,9 @@ def main():
                     "interleaved (not the reference behavior)")
     ap.add_argument("--async-mapping", action="store_true",
                     help="run mapping/server on the worker thread")
+    ap.add_argument("--frames-png", type=int, default=0, metavar="N",
+                    help="write an annotated tracking frame (FrameDrawer "
+                    "analog) every N frames to OUT/frames_<agent>/")
     args = ap.parse_args()
 
     if os.environ.get("MAM3_FORCE_CPU"):
@@ -93,12 +96,23 @@ def main():
             f.write(make_yaml(c, args.n_features, args.n_levels))
         agents.append(mas.add_agent(yaml_path))
 
+    def dump_frame(aid, img, i):
+        """Annotated tracking frame (reference FrameDrawer,
+        src/FrameDrawer.cc) every --frames-png frames."""
+        if not args.frames_png or i % args.frames_png:
+            return
+        d = os.path.join(args.out, f"frames_{aid}")
+        os.makedirs(d, exist_ok=True)
+        viewer.render_tracking_frame(mas.sys, aid, img,
+                                     os.path.join(d, f"{i:06d}.png"))
+
     if args.serial:
         for aid, seq in zip(agents, args.seq):
             print(f"agent {aid}: {seq}")
             for i, (ts, img) in enumerate(
                     euroc.frames(seq, max_frames=args.max_frames)):
                 state, pose = mas.track_monocular(aid, img, ts)
+                dump_frame(aid, img, i)
                 if i % 100 == 0:
                     print(f"  frame {i}  state={state}", flush=True)
     else:
@@ -116,6 +130,7 @@ def main():
                     live.discard(k)
                     continue
                 state, pose = mas.track_monocular(agents[k], img, ts)
+                dump_frame(agents[k], img, i)
                 if i % 100 == 0:
                     maps = [a.map_id for a in mas.sys.agents]
                     print(f"round {i}  agent {agents[k]} state={state} "

@@ -58,6 +58,11 @@ class MultiAgentSystem:
 
         st = settings_mod.load_settings(settings_yaml)
         W, H = st.eff_width, st.eff_height  # after Camera.newWidth resize
+        if self._vocab is None:
+            # reference-parity default: a full-scale vocabulary file
+            # ($MAM3_VOCAB or data/ORBvoc.txt) is loaded at startup when
+            # present (MultiAgentSystem ctor, src/MultiAgentSystem.cc:22)
+            self._vocab = bow_mod.default_vocabulary()
         if self.sys is None:
             cfg = self._slam_cfg or SlamConfig(
                 width=W, height=H,

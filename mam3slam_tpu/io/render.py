@@ -34,6 +34,86 @@ class RenderCam:
     cx: float = 320.0
     cy: float = 240.0
     fps: float = 20.0
+    # camera model: "pinhole" or "kb8" (KannalaBrandt8 equidistant
+    # fisheye — the reference's own fixture operating point is 960x960
+    # KB8, /root/reference/test/settingsForTest_00.yaml:8-50)
+    model: str = "pinhole"
+    k: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
+
+
+def reference_kb8_cam(scale: float = 1.0) -> RenderCam:
+    """The reference fixture's camera (settingsForTest_00.yaml: 960x960
+    KB8 @20fps, fx=fy=470.2, k1..k4 below), optionally resolution-scaled
+    for faster tests."""
+    s = float(scale)
+    return RenderCam(width=int(960 * s), height=int(960 * s),
+                     fx=470.2 * s, fy=470.2 * s,
+                     cx=479.9 * s, cy=479.9 * s, fps=20.0, model="kb8",
+                     k=(0.0034823894022493434, 0.0007150348452162257,
+                        -0.0020532361418706202, 0.00020293673591811182))
+
+
+@dataclass(frozen=True)
+class Photometric:
+    """Per-frame photometric perturbations (deterministic in the frame
+    index): multiplicative gain + additive bias drift, Gaussian blur, and
+    radial vignetting — the degradations EuRoC-grade footage carries that
+    the clean renderer lacked (VERDICT r2: easy-mode benchmarks)."""
+
+    gain_amp: float = 0.15     # gain in [1-a, 1+a], smooth over frames
+    bias_amp: float = 12.0     # additive offset in [-b, b]
+    blur_sigma: float = 0.8    # Gaussian blur sigma (px); 0 = off
+    vignette: float = 0.35     # corner darkening fraction; 0 = off
+    noise_sigma: float = 2.0   # zero-mean Gaussian pixel noise; 0 = off
+    seed: int = 7
+
+    def apply(self, img: np.ndarray, frame_idx: int) -> np.ndarray:
+        from scipy.ndimage import gaussian_filter
+
+        h, w = img.shape
+        out = img.astype(np.float32)
+        if self.blur_sigma > 0:
+            out = gaussian_filter(out, self.blur_sigma)
+        if self.vignette > 0:
+            ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+            r2 = (((xs - w / 2) / (w / 2)) ** 2
+                  + ((ys - h / 2) / (h / 2)) ** 2)
+            out = out * (1.0 - self.vignette * 0.5 * r2)
+        # smooth exposure drift (deterministic, band-limited)
+        ph = 2 * np.pi * (frame_idx * 0.013 + 0.1 * self.seed)
+        gain = 1.0 + self.gain_amp * np.sin(ph)
+        bias = self.bias_amp * np.sin(0.7 * ph + 1.3)
+        out = out * gain + bias
+        if self.noise_sigma > 0:
+            rng = np.random.default_rng(self.seed * 100003 + frame_idx)
+            out = out + rng.normal(0, self.noise_sigma, out.shape)
+        return np.clip(out, 0, 255)
+
+
+def _kb8_unproject_grid(cam: RenderCam) -> np.ndarray:
+    """Per-pixel unit ray directions (camera frame) for a KB8 fisheye:
+    invert theta_d = theta + k1 th^3 + k2 th^5 + k3 th^7 + k4 th^9 by
+    Newton iteration (the reference KannalaBrandt8::unproject does the
+    same solve per point, src/CameraModels/KannalaBrandt8.cpp)."""
+    W, H = cam.width, cam.height
+    ys, xs = np.mgrid[0:H, 0:W].astype(np.float64)
+    mx = (xs - cam.cx) / cam.fx
+    my = (ys - cam.cy) / cam.fy
+    theta_d = np.sqrt(mx * mx + my * my)
+    k1, k2, k3, k4 = cam.k
+    th = theta_d.copy()
+    for _ in range(10):
+        th2 = th * th
+        f = th * (1 + th2 * (k1 + th2 * (k2 + th2 * (k3 + th2 * k4)))) \
+            - theta_d
+        fp = 1 + th2 * (3 * k1 + th2 * (5 * k2 + th2 * (7 * k3
+                                                        + th2 * 9 * k4)))
+        th = th - f / np.maximum(fp, 1e-9)
+    scale = np.where(theta_d > 1e-9, np.tan(th) / np.maximum(theta_d, 1e-9),
+                     1.0)
+    rays = np.stack([mx * scale, my * scale, np.ones_like(mx)], axis=-1)
+    return (rays / np.linalg.norm(rays, axis=-1, keepdims=True)
+            ).astype(np.float32)
 
 
 def _texture(rng: np.random.Generator, hw: Tuple[int, int]) -> np.ndarray:
@@ -100,13 +180,24 @@ class RoomScene:
             return (pts[..., 0] + self.S) * s, (pts[..., 1] + self.Hh) * s
         return (pts[..., 0] + self.S) * s, (pts[..., 2] + self.S) * s
 
+    _ray_cache = {}
+
     def render(self, R: np.ndarray, t: np.ndarray,
                cam: RenderCam) -> np.ndarray:
         """R, t: world->cam.  Returns grayscale float image [H, W]."""
         W, H = cam.width, cam.height
-        ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
-        rays_c = np.stack([(xs - cam.cx) / cam.fx, (ys - cam.cy) / cam.fy,
-                           np.ones_like(xs)], axis=-1)
+        if cam.model == "kb8":
+            key = (cam.width, cam.height, cam.fx, cam.fy, cam.cx, cam.cy,
+                   cam.k)
+            rays_c = RoomScene._ray_cache.get(key)
+            if rays_c is None:
+                rays_c = _kb8_unproject_grid(cam)
+                RoomScene._ray_cache[key] = rays_c
+        else:
+            ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+            rays_c = np.stack([(xs - cam.cx) / cam.fx,
+                               (ys - cam.cy) / cam.fy,
+                               np.ones_like(xs)], axis=-1)
         Rwc = R.T
         C = -Rwc @ t
         rays_w = rays_c @ Rwc.T  # [H, W, 3]

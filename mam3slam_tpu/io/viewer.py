@@ -58,3 +58,51 @@ def render_map(system, path: str, server=None, max_points: int = 20000):
     ax.set_title(f"{int(kf_valid.sum())} KFs, {int(mp_valid.sum())} MPs")
     fig.savefig(path, dpi=120, bbox_inches="tight")
     plt.close(fig)
+
+
+_STATE_TEXT = {0: "WAITING FOR IMAGES", 1: "TRYING TO INITIALIZE",
+               2: "SLAM", 3: "RECENTLY LOST", 4: "LOST"}
+
+
+def render_tracking_frame(system, agent_id: int, image: np.ndarray,
+                          path: str):
+    """Annotated per-frame tracking image (the reference FrameDrawer,
+    src/FrameDrawer.cc:1-489): keypoints drawn colored by match state —
+    green square+dot for features tracking a map point (inlier of the
+    last pose optimization), blue dot for extracted-but-unmatched — plus
+    the state banner with map statistics.  Written as PNG (headless)."""
+    import cv2
+
+    a = system.agents[agent_id]
+    img = np.asarray(image, np.float32)
+    bgr = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8),
+                       cv2.COLOR_GRAY2BGR)
+    n_tracked = 0
+    if a.last_frame is not None:
+        uv = np.asarray(a.last_frame.uv)
+        valid = np.asarray(a.last_frame.valid)
+        fmp = (np.asarray(a.last_feat_mp)
+               if a.last_feat_mp is not None
+               else np.full(len(uv), -1, np.int32))
+        for i in np.flatnonzero(valid):
+            x, y = int(round(uv[i, 0])), int(round(uv[i, 1]))
+            if not (0 <= x < bgr.shape[1] and 0 <= y < bgr.shape[0]):
+                continue
+            if fmp[i] >= 0:
+                cv2.rectangle(bgr, (x - 3, y - 3), (x + 3, y + 3),
+                              (0, 200, 0), 1)
+                cv2.circle(bgr, (x, y), 1, (0, 200, 0), -1)
+                n_tracked += 1
+            else:
+                cv2.circle(bgr, (x, y), 1, (200, 120, 0), -1)
+
+    ms = system.ms
+    n_kf = int(np.asarray(ms.kf_valid).sum())
+    n_mp = int(np.asarray(ms.mp_valid).sum())
+    state = _STATE_TEXT.get(a.state, "?")
+    banner = (f"{state} | agent {agent_id} map {a.map_id} | "
+              f"KFs: {n_kf}  MPs: {n_mp}  matches: {n_tracked}")
+    bar = np.zeros((22, bgr.shape[1], 3), np.uint8)
+    cv2.putText(bar, banner, (6, 15), cv2.FONT_HERSHEY_SIMPLEX, 0.45,
+                (255, 255, 255), 1, cv2.LINE_AA)
+    cv2.imwrite(path, np.concatenate([bgr, bar], axis=0))

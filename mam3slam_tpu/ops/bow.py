@@ -23,6 +23,7 @@ file's exact clusters are not required for parity, only candidate quality.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -263,6 +264,107 @@ def detect_candidates(scores: jnp.ndarray, shared: jnp.ndarray,
     mv, mi = jax.lax.top_k(s_merge, n_best)
     return (li.astype(jnp.int32), jnp.isfinite(lv),
             mi.astype(jnp.int32), jnp.isfinite(mv))
+
+
+def synthesize_vocabulary(k: int = 10, depth: int = 6,
+                          seed: int = 0) -> Vocabulary:
+    """Synthesize a structurally-coherent k^depth-leaf vocabulary (the
+    reference regime: ORBvoc is a 10^6-leaf k=10/L=6 DBoW2 tree loaded at
+    startup, src/MultiAgentSystem.cc:22-30).  Children perturb their
+    parent's centroid with a depth-decaying bit-flip rate, so greedy
+    descent is stable (a descriptor near a leaf is near its ancestors) —
+    adequate for quantization latency / device-memory measurement and for
+    runs without a trained vocabulary file.  ~36 MB packed at 1M leaves."""
+    rng = np.random.default_rng(seed)
+    levels = []
+    parent_bits = rng.integers(0, 2, (1, 256), dtype=np.uint8)
+    for lv in range(depth):
+        n_children = k ** (lv + 1)
+        rep = np.repeat(parent_bits, k, axis=0)            # [k^(lv+1), 256]
+        flip_rate = 0.25 / (1.6 ** lv)
+        flips = rng.random((n_children, 256)) < flip_rate
+        bits = (rep ^ flips).astype(np.uint8)
+        levels.append(jnp.asarray(_pack_bits_np(bits)))
+        parent_bits = bits
+    idf = jnp.ones((k ** depth,), jnp.float32)
+    return Vocabulary(centroid_bits=tuple(levels), idf=idf, k=k,
+                      depth=depth)
+
+
+_DEFAULT_VOC = None
+
+
+def default_vocabulary():
+    """The vocabulary used when callers pass none: $MAM3_VOCAB (an
+    ORBvoc.txt-format file) if set, else ``data/ORBvoc.txt`` in the repo
+    if present, else None (the server then trains a bootstrap vocabulary
+    from the stream).  Cached per process."""
+    global _DEFAULT_VOC
+    if _DEFAULT_VOC is not None:
+        return _DEFAULT_VOC or None
+    import os
+    cand = os.environ.get("MAM3_VOCAB") or os.path.join(
+        os.path.dirname(__file__), "..", "..", "data", "ORBvoc.txt")
+    if cand and os.path.exists(cand):
+        _DEFAULT_VOC = load_orbvoc_text(cand)
+        return _DEFAULT_VOC
+    _DEFAULT_VOC = False
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("n_out", "n_group"))
+def detect_candidates_grouped(scores: jnp.ndarray, shared: jnp.ndarray,
+                              eligible: jnp.ndarray, covis: jnp.ndarray,
+                              n_out: int = 9, n_group: int = 10):
+    """Covisibility-group accumulated candidate detection — the
+    reference's DetectNBestCandidates core
+    (/root/reference/src/KeyFrameDatabase.cc:604-730, consumed at
+    src/LoopClosing.cc:668):
+
+    * candidates sharing words with the query, gated at >= 0.8 * max
+      common words, get their raw L1 score;
+    * each gated candidate accumulates the scores of its top-``n_group``
+      covisible neighbors that also share words (isolated single-KF hits
+      on repetitive texture do NOT outrank a consistently-seen region);
+    * each group is represented by its best-scoring member;
+    * groups below 0.75 * best accumulated score are rejected.
+
+    Returns (best_kf [n_out], acc [n_out], ok [n_out]) ranked by
+    accumulated score; the caller dedupes representatives and splits
+    loop/merge by map id (the reference does the same on the host side of
+    the scoring).  ``covis`` is the [K, K] weight matrix.
+    """
+    n_group = min(n_group, covis.shape[0])  # tiny arenas
+    n_out = min(n_out, covis.shape[0])
+    sharing = eligible & (shared > 0)
+    max_common = jnp.max(jnp.where(sharing, shared, 0))
+    scored = sharing & (shared.astype(jnp.float32)
+                        > 0.8 * max_common.astype(jnp.float32))
+    s = jnp.where(scored, scores, 0.0)
+
+    nb_w, nb_idx = jax.lax.top_k(covis, n_group)           # [K, n_group]
+    nb_ok = nb_w > 0
+    nb_sharing = sharing[nb_idx] & nb_ok
+    # accumulate over group members that share words (their score is 0
+    # unless they also passed the common-word gate — the reference reads
+    # mPlaceRecognitionScore which is only written for gated members)
+    acc = s + jnp.sum(jnp.where(nb_sharing, s[nb_idx], 0.0), axis=1)
+    acc = jnp.where(scored, acc, -jnp.inf)
+    # best-scoring member represents the group
+    member_s = jnp.concatenate([scores[:, None],
+                                jnp.where(nb_sharing & scored[nb_idx],
+                                          scores[nb_idx], -jnp.inf)],
+                               axis=1)                     # [K, 1+n_group]
+    best_m = jnp.argmax(member_s, axis=1)
+    best_kf = jnp.where(best_m == 0, jnp.arange(covis.shape[0]),
+                        nb_idx[jnp.arange(covis.shape[0]),
+                               jnp.clip(best_m - 1, 0)])
+    best_acc = jnp.max(acc)
+    ok_thresh = acc >= 0.75 * best_acc
+    ranked_acc, ranked = jax.lax.top_k(jnp.where(ok_thresh, acc, -jnp.inf),
+                                       n_out)
+    return (best_kf[ranked].astype(jnp.int32), ranked_acc,
+            jnp.isfinite(ranked_acc))
 
 
 # ---------------------------------------------------------------------------

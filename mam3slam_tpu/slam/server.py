@@ -74,6 +74,13 @@ class ServerConfig:
     pgo_min_covis_weight: int = 100
     vocab_k: int = 10
     vocab_depth: int = 3
+    # hypothesis-refinement gates (reference DetectAndReffineSim3FromLastKF
+    # LoopClosing.cc:726-728: nProjMatches=30, nProjOptMatches=50,
+    # nProjMatchesRep=100).  None derives the reference ratios from the
+    # detection thresholds (2x / 2.5x / 5x — exact at the defaults).
+    n_refine_proj: Optional[int] = None
+    n_refine_opt: Optional[int] = None
+    n_refine_rep: Optional[int] = None
     # run the conditional post-loop/post-merge global BA as a background
     # device program (reference GBA thread, LoopClosing.cc:3579) instead
     # of a synchronous epoch; reconciled with spanning-tree catch-up when
@@ -222,6 +229,13 @@ class LoopServer:
 
     # ------------------------------------------------------------------
     def _detect_candidates(self, kf: int):
+        """Covisibility-group accumulated scoring (the reference's
+        DetectNBestCandidates, src/KeyFrameDatabase.cc:604-730): groups
+        of covisible keyframes accumulate their members' BoW scores, each
+        group is represented by its best member, and representatives are
+        split into loop (same map) / merge (other map) candidates.  An
+        isolated single-KF hit on repetitive texture no longer outranks a
+        consistently-recognized region."""
         ms = self.sys.ms
         cfg = self.cfg
         q_dense = jnp.asarray(bow.dense_query(
@@ -235,13 +249,21 @@ class LoopServer:
         eligible = (kf_valid & (covis_row == 0)
                     & (np.arange(len(kf_valid)) != kf))
         same_map = np.asarray(ms.kf_map) == int(ms.kf_map[kf])
-        li, lok, mi, mok = bow.detect_candidates(
-            scores, shared, jnp.asarray(eligible), jnp.asarray(same_map),
-            cfg.n_candidates)
-        loop_c = [int(i) for i, o in zip(np.asarray(li), np.asarray(lok))
-                  if o]
-        merge_c = [int(i) for i, o in zip(np.asarray(mi), np.asarray(mok))
-                   if o]
+        reps, acc, ok = bow.detect_candidates_grouped(
+            scores, shared, jnp.asarray(eligible), ms.covis,
+            n_out=3 * cfg.n_candidates)
+        loop_c, merge_c, seen = [], [], set()
+        for r, o in zip(np.asarray(reps), np.asarray(ok)):
+            if not o:
+                break
+            r = int(r)
+            if r in seen or not kf_valid[r] or r == kf:
+                continue
+            seen.add(r)
+            if same_map[r] and len(loop_c) < cfg.n_candidates:
+                loop_c.append(r)
+            elif not same_map[r] and len(merge_c) < cfg.n_candidates:
+                merge_c.append(r)
         return loop_c, merge_c
 
     # ------------------------------------------------------------------
@@ -262,6 +284,77 @@ class LoopServer:
         return jnp.asarray(mp_mask & np.asarray(ms.mp_valid))
 
     # ------------------------------------------------------------------
+    def _project_match_sim3(self, kf: int, Scw: "lie.Sim3", mp_mask,
+                            th: float):
+        """Guided Sim3 projection search into keyframe ``kf`` with the
+        reference's full gate set (SearchByProjection(KF, Scw, ...),
+        src/ORBmatcher.cc:534): depth > 0, in-image, scale-invariance
+        distance bounds, viewing angle < 60 deg, predicted-level radius
+        AND level-window gating.  Distances are measured in the candidate
+        map's own world frame (camera center through Scw^-1), so the
+        Sim3 scale cancels exactly as in the reference."""
+        ms = self.sys.ms
+        kind = self.sys.cfg.cam_kind
+        cam = cam_mod.Camera(ms.kf_cam[kf], kind)
+        sf = jnp.asarray(self.sys.cfg.scale_factors)
+        proj = lie.sim3_apply(Scw, ms.mp_pos)
+        uvp = cam_mod.project_ideal(cam, proj)
+        in_img = ((uvp[:, 0] >= 0) & (uvp[:, 0] < self.sys.cfg.width)
+                  & (uvp[:, 1] >= 0) & (uvp[:, 1] < self.sys.cfg.height))
+        Ow = lie.sim3_apply(lie.sim3_inverse(Scw), jnp.zeros((3,)))
+        vec = ms.mp_pos - Ow[None, :]
+        dist = jnp.linalg.norm(vec, axis=-1)
+        dist_ok = ((dist >= 0.8 * ms.mp_min_dist)
+                   & (dist <= 1.2 * ms.mp_max_dist))
+        view_cos = (jnp.sum(vec * ms.mp_normal, axis=-1)
+                    / jnp.maximum(dist, 1e-9))
+        n_levels = sf.shape[0]
+        ratio = ms.mp_max_dist / jnp.maximum(dist, 1e-9)
+        lvl = jnp.clip(jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9))
+                                / jnp.log(sf[1])).astype(jnp.int32),
+                       0, n_levels - 1)
+        vis = (mp_mask & (proj[:, 2] > 0.05) & in_img & dist_ok
+               & (view_cos > 0.5))
+        mres = M.search_by_projection_frame(
+            uvp, lvl, th * sf[lvl], M.unpack_desc(ms.mp_desc), vis,
+            ms.kf_feat_uv[kf], ms.kf_feat_level[kf],
+            M.unpack_desc(ms.kf_feat_desc[kf]), ms.kf_feat_valid[kf],
+            level_lo=1, level_hi=1)
+        return mres, int(np.asarray(mres.ok).sum())
+
+    def _optimize_sim3_pairs(self, kf: int, cand: int, mres, S12_init):
+        """OptimizeSim3 on GENUINE matched pairs (reference
+        Optimizer::OptimizeSim3 src/Optimizer.cc:2115: edges only where
+        the current KF's matched feature carries its OWN map point and
+        the candidate point is observed in the candidate KF — both
+        reprojection directions are then independent constraints)."""
+        ms = self.sys.ms
+        kind = self.sys.cfg.cam_kind
+        cam_kf = cam_mod.Camera(ms.kf_cam[kf], kind)
+        cam_cand = cam_mod.Camera(ms.kf_cam[cand], kind)
+        s2 = self.sys.cfg.sigma2
+        T2 = lie.sim3_from_se3(lie.SE3(ms.kf_q[cand], ms.kf_t[cand]))
+        pc2 = lie.sim3_apply(T2, ms.mp_pos)       # candidate-camera frame
+        f1 = jnp.clip(mres.idx, 0)                # matched feature in kf
+        uv1 = ms.kf_feat_uv[kf][f1]
+        mp1 = ms.kf_feat_mp[kf][f1]               # current map's own MP
+        has1 = mp1 >= 0
+        p1w = ms.mp_pos[jnp.clip(mp1, 0)]
+        pc1 = lie.quat_rotate(ms.kf_q[kf][None], p1w) + ms.kf_t[kf][None]
+        hit2 = ms.mp_obs_kf == cand               # [P, M]
+        has2 = hit2.any(-1)
+        f2 = jnp.clip(ms.mp_obs_feat[
+            jnp.arange(hit2.shape[0]), jnp.argmax(hit2, axis=-1)], 0)
+        uv2 = ms.kf_feat_uv[cand][f2]
+        pair_ok = mres.ok & has1 & has2
+        lvl_f1 = ms.kf_feat_level[kf][f1]
+        lvl_f2 = ms.kf_feat_level[cand][f2]
+        sg1 = jnp.asarray(s2)[jnp.clip(lvl_f1, 0, len(s2) - 1)]
+        sg2 = jnp.asarray(s2)[jnp.clip(lvl_f2, 0, len(s2) - 1)]
+        return sim3_mod.optimize_sim3(
+            S12_init.q, S12_init.t, S12_init.s, pc1, pc2, uv1, uv2,
+            pair_ok, cam_kf, cam_cand, sg1, sg2), T2
+
     def _verify_candidate(self, kf: int, cand: int):
         """BoW match -> Sim3 RANSAC -> guided projection + OptimizeSim3.
 
@@ -318,55 +411,21 @@ class LoopServer:
             return None
 
         # guided projection of the candidate window's map points into the
-        # current KF using the Sim3 (SearchByProjection th=8), then refine
+        # current KF using the Sim3 (SearchByProjection th=8, full gate
+        # set incl. predicted-level window), then refine
         mp_mask = self._candidate_window_points(cand)
         # S_c1<-w2 = S_c1<-c2 * T_c2<-w2
         S12 = lie.Sim3(r.q, r.t, r.s)
         T2 = lie.sim3_from_se3(lie.SE3(ms.kf_q[cand], ms.kf_t[cand]))
         Scw = lie.sim3_compose(S12, T2)
-        proj = lie.sim3_apply(Scw, ms.mp_pos)
-        uvp = cam_mod.project_ideal(cam_kf, proj)
-        vis = (mp_mask & (proj[:, 2] > 0.05)
-               & (uvp[:, 0] >= 0) & (uvp[:, 0] < self.sys.cfg.width)
-               & (uvp[:, 1] >= 0) & (uvp[:, 1] < self.sys.cfg.height))
-        mres = M.search_by_projection_frame(
-            uvp, jnp.zeros(proj.shape[0], jnp.int32),
-            jnp.full(proj.shape[0], 8.0), M.unpack_desc(ms.mp_desc), vis,
-            ms.kf_feat_uv[kf], ms.kf_feat_level[kf], bits1,
-            ms.kf_feat_valid[kf], level_lo=8, level_hi=8)
-        n_proj = int(np.asarray(mres.ok).sum())
+        mres, n_proj = self._project_match_sim3(kf, Scw, mp_mask, th=8.0)
         self.last_verify["n_proj"] = n_proj
         if n_proj < cfg.n_proj_matches:
             return None
 
-        # refine with optimize_sim3 on GENUINE matched pairs (reference
-        # Optimizer::OptimizeSim3 src/Optimizer.cc:2115 builds edges only
-        # where the current KF's matched feature carries its OWN map point
-        # (pMP1) and the candidate point is observed in the candidate KF
-        # (i2 = pMP2->GetIndexInKeyFrame(pKF2) >= 0) — both reprojection
-        # directions are then independent constraints, not a proxy).
-        pc2 = lie.sim3_apply(T2, ms.mp_pos)       # candidate-camera frame
-        f1 = jnp.clip(mres.idx, 0)                # matched feature in kf
-        uv1 = ms.kf_feat_uv[kf][f1]
-        mp1 = ms.kf_feat_mp[kf][f1]               # current map's own MP
-        has1 = mp1 >= 0
-        # current-KF camera-frame points of the current map's own MPs
-        p1w = ms.mp_pos[jnp.clip(mp1, 0)]
-        pc1 = lie.quat_rotate(ms.kf_q[kf][None], p1w) + ms.kf_t[kf][None]
-        # observation of each candidate point in the candidate KF itself
-        hit2 = ms.mp_obs_kf == cand               # [P, M]
-        has2 = hit2.any(-1)
-        f2 = jnp.clip(ms.mp_obs_feat[
-            jnp.arange(hit2.shape[0]), jnp.argmax(hit2, axis=-1)], 0)
-        uv2 = ms.kf_feat_uv[cand][f2]
-        pair_ok = mres.ok & has1 & has2
-        lvl_f1 = ms.kf_feat_level[kf][f1]
-        lvl_f2 = ms.kf_feat_level[cand][f2]
-        sg1 = jnp.asarray(s2)[jnp.clip(lvl_f1, 0, len(s2) - 1)]
-        sg2 = jnp.asarray(s2)[jnp.clip(lvl_f2, 0, len(s2) - 1)]
-        q_o, t_o, s_o, inl, n_in = sim3_mod.optimize_sim3(
-            r.q, r.t, r.s, pc1, pc2, uv1, uv2, pair_ok,
-            cam_kf, cam_cand, sg1, sg2)
+        # refine with optimize_sim3 on genuine matched pairs
+        (q_o, t_o, s_o, inl, n_in), _ = self._optimize_sim3_pairs(
+            kf, cand, mres, S12)
         self.last_verify["n_opt_inl"] = int(n_in)
         if int(n_in) < cfg.n_sim3_inliers:
             return None
@@ -374,19 +433,9 @@ class LoopServer:
         # decisive gate: re-project the window through the OPTIMIZED Sim3
         # at the narrow radius (reference SearchByProjection th=5 then
         # numProjOptMatches >= nProjOptMatches, LoopClosing.cc:1310-1350)
-        S12_o = lie.Sim3(q_o, t_o, s_o)
-        Scw_o = lie.sim3_compose(S12_o, T2)
-        proj_o = lie.sim3_apply(Scw_o, ms.mp_pos)
-        uvp_o = cam_mod.project_ideal(cam_kf, proj_o)
-        vis_o = (mp_mask & (proj_o[:, 2] > 0.05)
-                 & (uvp_o[:, 0] >= 0) & (uvp_o[:, 0] < self.sys.cfg.width)
-                 & (uvp_o[:, 1] >= 0) & (uvp_o[:, 1] < self.sys.cfg.height))
-        mres_o = M.search_by_projection_frame(
-            uvp_o, jnp.zeros(proj_o.shape[0], jnp.int32),
-            jnp.full(proj_o.shape[0], 5.0), M.unpack_desc(ms.mp_desc),
-            vis_o, ms.kf_feat_uv[kf], ms.kf_feat_level[kf], bits1,
-            ms.kf_feat_valid[kf], level_lo=8, level_hi=8)
-        n_opt = int(np.asarray(mres_o.ok).sum())
+        Scw_o = lie.sim3_compose(lie.Sim3(q_o, t_o, s_o), T2)
+        mres_o, n_opt = self._project_match_sim3(kf, Scw_o, mp_mask,
+                                                 th=5.0)
         self.last_verify["n_final"] = n_opt
         if n_opt < cfg.n_proj_opt_matches:
             return None
@@ -395,16 +444,16 @@ class LoopServer:
 
     # ------------------------------------------------------------------
     def _refine_hypothesis(self, agent_id: int, kf: int, h: Hypothesis):
-        """DetectAndReffineSim3FromLastKF: propagate S_cw through the
-        agent's motion and re-validate by projection matching."""
+        """DetectAndReffineSim3FromLastKF (reference LoopClosing.cc:720-
+        880): propagate S_cw through the agent's motion, re-match by
+        guided projection (full gate set), RE-OPTIMIZE the Sim3 on the
+        fresh matches, and accept only if the re-projection through the
+        optimized Sim3 still matches widely — the hypothesis is
+        *corrected* every confirmation, not merely counted."""
         ms = self.sys.ms
-        cam = cam_mod.Camera(ms.kf_cam[kf], self.sys.cfg.cam_kind)
-        # propagate: S_c_new,w2 = T_c_new,w1 * T_c_last,w1^-1 * S_c_last,w2
-        # approximated by recomputing through current pose relative to the
-        # stored hypothesis keyframe is not available; use matched map
-        # projection with the stored Scw directly transformed by relative
-        # motion of the agent since last KF:
-        # relative motion: T_cur_cw * T_prevkf_cw^-1 in the agent's own map
+        cfg = self.cfg
+        # propagate through the agent's own relative motion since the
+        # hypothesis' last KF: S_cur = T_cur * T_prev^-1 * S_prev
         prev_kf = h.last_kf
         S_prev = lie.Sim3(jnp.asarray(h.q), jnp.asarray(h.t),
                           jnp.asarray(h.s, jnp.float32))
@@ -414,23 +463,37 @@ class LoopServer:
         rel = lie.sim3_compose(T_cur, lie.sim3_inverse(T_prev))
         S_cur = lie.sim3_compose(rel, S_prev)
 
+        n_proj_th = cfg.n_refine_proj or 2 * cfg.n_proj_matches
+        n_opt_th = cfg.n_refine_opt or int(2.5 * cfg.n_proj_opt_matches)
+        n_rep_th = cfg.n_refine_rep or 5 * cfg.n_proj_opt_matches
+
         mp_mask = self._candidate_window_points(h.target_kf)
-        proj = lie.sim3_apply(S_cur, ms.mp_pos)
-        uvp = cam_mod.project_ideal(cam, proj)
-        vis = (mp_mask & (proj[:, 2] > 0.05)
-               & (uvp[:, 0] >= 0) & (uvp[:, 0] < self.sys.cfg.width)
-               & (uvp[:, 1] >= 0) & (uvp[:, 1] < self.sys.cfg.height))
-        mres = M.search_by_projection_frame(
-            uvp, jnp.zeros(proj.shape[0], jnp.int32),
-            jnp.full(proj.shape[0], 8.0), M.unpack_desc(ms.mp_desc), vis,
-            ms.kf_feat_uv[kf], ms.kf_feat_level[kf],
-            M.unpack_desc(ms.kf_feat_desc[kf]), ms.kf_feat_valid[kf],
-            level_lo=8, level_hi=8)
-        n = int(np.asarray(mres.ok).sum())
+        mres, n1 = self._project_match_sim3(kf, S_cur, mp_mask, th=8.0)
+        # the propagated pose is kept either way (next confirmation
+        # propagates from this KF)
         h.q, h.t, h.s = (np.asarray(S_cur.q), np.asarray(S_cur.t),
                          float(S_cur.s))
         h.last_kf = kf
-        return n >= self.cfg.n_proj_opt_matches
+        if n1 < n_proj_th:
+            return False
+
+        # second OptimizeSim3 pass on the fresh matches
+        T2 = lie.sim3_from_se3(lie.SE3(ms.kf_q[h.target_kf],
+                                       ms.kf_t[h.target_kf]))
+        S12_0 = lie.sim3_compose(S_cur, lie.sim3_inverse(T2))
+        (q_o, t_o, s_o, inl, n_in), _ = self._optimize_sim3_pairs(
+            kf, h.target_kf, mres, S12_0)
+        if int(n_in) < n_opt_th:
+            return False
+
+        # decisive wide re-projection through the optimized Sim3
+        Scw_o = lie.sim3_compose(lie.Sim3(q_o, t_o, s_o), T2)
+        mres2, n2 = self._project_match_sim3(kf, Scw_o, mp_mask, th=5.0)
+        if n2 < n_rep_th:
+            return False
+        h.q, h.t, h.s = (np.asarray(Scw_o.q), np.asarray(Scw_o.t),
+                         float(Scw_o.s))
+        return True
 
     # ------------------------------------------------------------------
     def _run_gba(self, map_id: int):

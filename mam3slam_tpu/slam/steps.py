@@ -166,14 +166,24 @@ def triangulate_with_neighbor(ms: S.MapState, kf1, kf2,
     q2, t2 = ms.kf_q[kf2], ms.kf_t[kf2]
     cam1 = cam_mod.Camera(ms.kf_cam[kf1], kind)
     cam2 = cam_mod.Camera(ms.kf_cam[kf2], kind)
+    if kind == cam_mod.KANNALA_BRANDT8:
+        # epipolar-line search + DLT are pinhole geometry: lift the raw
+        # fisheye keypoints to ideal-pinhole coords (the reference's
+        # SearchForTriangulation/Triangulate for KB8 unprojects first);
+        # the chi2 reprojection gates below stay in the RAW match space
+        # via project_ideal (= full KB8 model)
+        uv1_g = cam_mod.undistort_points(cam1, uv1)
+        uv2_g = cam_mod.undistort_points(cam2, uv2)
+    else:
+        uv1_g, uv2_g = uv1, uv2
     K1, K2 = cam1.K(), cam2.K()
     F12 = _fundamental_from_poses(q1, t1, q2, t2, K1, K2)
 
     bits1 = M.unpack_desc(ms.kf_feat_desc[kf1])
     bits2 = M.unpack_desc(ms.kf_feat_desc[kf2])
     res = M.search_for_triangulation(
-        uv1, bits1, ms.kf_feat_level[kf1], free1,
-        uv2, bits2, ms.kf_feat_level[kf2], free2,
+        uv1_g, bits1, ms.kf_feat_level[kf1], free1,
+        uv2_g, bits2, ms.kf_feat_level[kf2], free2,
         F12, sigma2_per_level)
 
     idx2 = jnp.clip(res.idx, 0)
@@ -183,7 +193,7 @@ def triangulate_with_neighbor(ms: S.MapState, kf1, kf2,
     P2 = K2 @ jnp.concatenate([R2, t2[:, None]], axis=1)
     X = twoview.triangulate_dlt(
         jnp.broadcast_to(P1, (F, 3, 4)), jnp.broadcast_to(P2, (F, 3, 4)),
-        uv1, uv2[idx2])
+        uv1_g, uv2_g[idx2])
 
     # gates (reference CreateNewMapPoints :504-828)
     C1 = -R1.T @ t1

@@ -653,6 +653,13 @@ class SlamSystem:
         # compact matched pairs: row i of frame1 matched to idx[i] of frame2
         uv1 = a.init_frame.uv
         uv2 = frame.uv[jnp.clip(res.idx, 0)]
+        if a.cam.kind == cam_mod.KANNALA_BRANDT8:
+            # two-view H/F machinery is pinhole geometry: lift fisheye
+            # keypoints to ideal-pinhole coords first (the reference's
+            # KannalaBrandt8::ReconstructWithTwoViews unprojects before
+            # running the same RANSAC, src/CameraModels/KannalaBrandt8.cpp)
+            uv1 = cam_mod.undistort_points(a.cam, uv1)
+            uv2 = cam_mod.undistort_points(a.cam, uv2)
         self.key, sub = jax.random.split(self.key)
         Kmat = a.cam.K()
         rec = self.fns["reconstruct"](uv1, uv2, res.ok, Kmat, sub)
@@ -830,15 +837,26 @@ class SlamSystem:
             srv.voc, np.asarray(words), np.asarray(frame.valid),
             srv.kf_bow_words.shape[1])
         q_dense = jnp.asarray(bow_mod.dense_query(srv.voc, uw, vals))
-        scores = np.array(bow_mod.l1_scores_sparse(
-            q_dense, jnp.asarray(srv.kf_bow_words),
-            jnp.asarray(srv.kf_bow_vals)))
-        scores[~np.asarray(ms.kf_valid)] = -1
-        cands = np.argsort(scores)[::-1][:5]
-        for cand in cands:
-            if scores[cand] <= 0:
+        db_words = jnp.asarray(srv.kf_bow_words)
+        scores = bow_mod.l1_scores_sparse(q_dense, db_words,
+                                          jnp.asarray(srv.kf_bow_vals))
+        shared = bow_mod.shared_words_sparse(q_dense, db_words)
+        # covisibility-group accumulated ranking over ALL maps (reference
+        # DetectRelocalizationCandidates applies the same group scoring
+        # as loop detection, and deliberately disables the map filter —
+        # src/KeyFrameDatabase.cc — enabling cross-map re-entry)
+        reps, acc, okc = bow_mod.detect_candidates_grouped(
+            scores, shared, ms.kf_valid, ms.covis, n_out=5)
+        kf_valid_np = np.asarray(ms.kf_valid)
+        cands, seen = [], set()
+        for r, o in zip(np.asarray(reps), np.asarray(okc)):
+            if not o:
                 break
-            cand = int(cand)
+            r = int(r)
+            if r not in seen and kf_valid_np[r]:
+                seen.add(r)
+                cands.append(r)
+        for cand in cands:
             has2 = ms.kf_feat_valid[cand] & (ms.kf_feat_mp[cand] >= 0)
             res = M.search_by_brute_force(
                 bits_f, frame.valid, frame.angle,

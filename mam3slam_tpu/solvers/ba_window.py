@@ -389,7 +389,142 @@ def run_window_ba(prob: WindowProblem, kind: int, iters: int = 10,
 
 # ---------------------------------------------------------------------------
 # dense reduced-camera path (single chip; no CG)
+#
+# Layout note: the per-edge math runs in FLAT SoA form — every per-edge
+# scalar is its own 1-D [E] array (E = Pw * M).  TPU tiles the minor two
+# dims of every buffer to (8, 128); tensors shaped [Pw, M, 2, 3] pad
+# (2, 3) -> (8, 128), a ~42x memory bloat that made the einsum
+# formulation bandwidth-bound at ~13% of its roofline (measured: 10.4 ms
+# per LM iteration; the SoA form ~3x faster).  Small matrices appear only
+# at reduction boundaries, where XLA relayouts for the MXU anyway.
 # ---------------------------------------------------------------------------
+
+
+class _EdgeConsts(NamedTuple):
+    """Flattened per-edge constants of a WindowProblem ([E] each)."""
+
+    uvx: jnp.ndarray
+    uvy: jnp.ndarray
+    w0: jnp.ndarray
+    valid: jnp.ndarray
+    is_free: jnp.ndarray
+    cslot: jnp.ndarray        # clipped free-camera slot
+    q0: tuple                 # fixed-observer quat comps (4 x [E])
+    t0: tuple                 # fixed-observer translation comps (3 x [E])
+    par: tuple                # camera params comps (8 x [E])
+
+
+def _flatten_consts(prob: WindowProblem) -> _EdgeConsts:
+    f = lambda a: a.reshape(-1)
+    return _EdgeConsts(
+        uvx=f(prob.pm_uv[..., 0]), uvy=f(prob.pm_uv[..., 1]),
+        w0=f(prob.pm_w), valid=f(prob.pm_valid),
+        is_free=f(prob.pm_cslot >= 0),
+        cslot=f(jnp.clip(prob.pm_cslot, 0)),
+        q0=tuple(f(prob.pm_q0[..., i]) for i in range(4)),
+        t0=tuple(f(prob.pm_t0[..., i]) for i in range(3)),
+        par=tuple(f(prob.pm_params0[..., i]) for i in range(8)))
+
+
+def _soa_rot_from_quat(qw, qx, qy, qz):
+    """Rotation-matrix components from a (wxyz) quaternion, SoA."""
+    xx, yy, zz = qx * qx, qy * qy, qz * qz
+    xy, xz, yz = qx * qy, qx * qz, qy * qz
+    wx, wy, wz = qw * qx, qw * qy, qw * qz
+    return (1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy),
+            2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx),
+            2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy))
+
+
+def _soa_project_and_jac(kind, par, X, Y, Z):
+    """(u, v, j00..j12, depth_ok) in SoA form — exactly the math of
+    cameras.project_ideal / cameras.project_jac."""
+    fx, fy, cx, cy = par[0], par[1], par[2], par[3]
+    if kind == cam_mod.PINHOLE:
+        z = jnp.where(jnp.abs(Z) < 1e-6, 1e-6, Z)
+        iz = 1.0 / z
+        iz2 = iz * iz
+        u = fx * X * iz + cx
+        v = fy * Y * iz + cy
+        j00 = fx * iz
+        j01 = jnp.zeros_like(X)
+        j02 = -fx * X * iz2
+        j10 = jnp.zeros_like(X)
+        j11 = fy * iz
+        j12 = -fy * Y * iz2
+    else:  # KANNALA_BRANDT8 (mirrors cameras._project_kb8/_project_jac_kb8)
+        k1, k2, k3, k4 = par[4], par[5], par[6], par[7]
+        r2 = jnp.maximum(X * X + Y * Y, 1e-18)
+        r = jnp.sqrt(r2)
+        theta = jnp.arctan2(r, Z)
+        t2 = theta * theta
+        d = theta * (1.0 + t2 * (k1 + t2 * (k2 + t2 * (k3 + t2 * k4))))
+        dd = 1.0 + t2 * (3.0 * k1 + t2 * (5.0 * k2
+                                          + t2 * (7.0 * k3
+                                                  + 9.0 * k4 * t2)))
+        rho2 = r2 + Z * Z
+        dth_dx = X * Z / (rho2 * r)
+        dth_dy = Y * Z / (rho2 * r)
+        dth_dz = -r / rho2
+        s = d / r
+        ds_dx = (dd * dth_dx * r - d * (X / r)) / r2
+        ds_dy = (dd * dth_dy * r - d * (Y / r)) / r2
+        ds_dz = dd * dth_dz / r
+        u = fx * s * X + cx
+        v = fy * s * Y + cy
+        j00 = fx * (s + X * ds_dx)
+        j01 = fx * X * ds_dy
+        j02 = fx * X * ds_dz
+        j10 = fy * Y * ds_dx
+        j11 = fy * (s + Y * ds_dy)
+        j12 = fy * Y * ds_dz
+    return u, v, j00, j01, j02, j10, j11, j12, Z > 1e-3
+
+
+def _soa_linearize(c: _EdgeConsts, kind, cam_q, cam_t, pts, Pw, M):
+    """Flat-SoA linearization of every edge.  Returns per-edge residual,
+    point-jacobian (2x3), camera-jacobian (2x6, zero on fixed edges) and
+    depth mask, all as [E] component arrays."""
+    free = c.is_free
+    cs = c.cslot
+    qw = jnp.where(free, cam_q[:, 0][cs], c.q0[0])
+    qx = jnp.where(free, cam_q[:, 1][cs], c.q0[1])
+    qy = jnp.where(free, cam_q[:, 2][cs], c.q0[2])
+    qz = jnp.where(free, cam_q[:, 3][cs], c.q0[3])
+    tx = jnp.where(free, cam_t[:, 0][cs], c.t0[0])
+    ty = jnp.where(free, cam_t[:, 1][cs], c.t0[1])
+    tz = jnp.where(free, cam_t[:, 2][cs], c.t0[2])
+    R = _soa_rot_from_quat(qw, qx, qy, qz)
+    px = jnp.broadcast_to(pts[:, 0:1], (Pw, M)).reshape(-1)
+    py = jnp.broadcast_to(pts[:, 1:2], (Pw, M)).reshape(-1)
+    pz = jnp.broadcast_to(pts[:, 2:3], (Pw, M)).reshape(-1)
+    X = R[0] * px + R[1] * py + R[2] * pz + tx
+    Y = R[3] * px + R[4] * py + R[5] * pz + ty
+    Z = R[6] * px + R[7] * py + R[8] * pz + tz
+    u, v, j00, j01, j02, j10, j11, j12, dok = _soa_project_and_jac(
+        kind, c.par, X, Y, Z)
+    rx = u - c.uvx
+    ry = v - c.uvy
+    # Jp = dpi @ R  (2x3)
+    jp = (j00 * R[0] + j01 * R[3] + j02 * R[6],
+          j00 * R[1] + j01 * R[4] + j02 * R[7],
+          j00 * R[2] + j01 * R[5] + j02 * R[8],
+          j10 * R[0] + j11 * R[3] + j12 * R[6],
+          j10 * R[1] + j11 * R[4] + j12 * R[7],
+          j10 * R[2] + j11 * R[5] + j12 * R[8])
+    # Jc = [dpi | -dpi @ hat(Xc)] (2x6); hat(Xc) rows:
+    # [0,-Z,Y],[Z,0,-X],[-Y,X,0], so -(dpi @ hat) columns are
+    # (-j1*Z + j2*Y,  j0*Z - j2*X,  -j0*Y + j1*X) per dpi row (j0,j1,j2)
+    zf = jnp.where(free, 1.0, 0.0)
+    jc = (j00 * zf, j01 * zf, j02 * zf,
+          (-j01 * Z + j02 * Y) * zf,
+          (j00 * Z - j02 * X) * zf,
+          (-j00 * Y + j01 * X) * zf,
+          j10 * zf, j11 * zf, j12 * zf,
+          (-j11 * Z + j12 * Y) * zf,
+          (j10 * Z - j12 * X) * zf,
+          (-j10 * Y + j11 * X) * zf)
+    return rx, ry, jp, jc, dok
 
 def pm_linearize_all(prob: WindowProblem, kind, cam_q, cam_t, pts):
     """Point-major linearization of EVERY edge (free + fixed cameras in
@@ -413,48 +548,76 @@ def pm_linearize_all(prob: WindowProblem, kind, cam_q, cam_t, pts):
     return r, Jp, Jc, Xc[..., 2] > 1e-3
 
 
-def _lm_iteration_dense(prob: WindowProblem, kind, cam_q, cam_t, pts, lam,
-                        pm_edge_mask, huber_delta2, robust):
+def _lm_iteration_dense(prob: WindowProblem, consts: _EdgeConsts, kind,
+                        cam_q, cam_t, pts, lam, edge_mask_flat,
+                        huber_delta2, robust):
     """One LM step solving the REDUCED camera system exactly.
 
     The implicit-Schur CG solver spends ~1 ms per CG matvec on chains of
     small-tensor ops; at window scale (Kc <= ~128 free cameras) the reduced
     system is only [6Kc, 6Kc], so it is far cheaper to FORM it explicitly —
     every reduction is a one-hot matmul that rides the MXU — and factor it
-    with one dense Cholesky.  Per iteration:
+    with one dense Cholesky.  Per iteration (SoA, see layout note above):
 
       Hcc[k]   = sum_e 1[c_e=k] Jc^T W Jc          (one-hot matmul)
       Z[p,k]   = sum_m 1[c_pm=k] Jc^T W Jp         [Pw, Kc, 6, 3]
       coupling = sum_p Z_p Hpp^-1 Z_p^T = (Z L)(Z L)^T   (ONE big matmul)
       H_red    = blockdiag(Hcc) - coupling;  dx_c = chol_solve(H_red, b)
-
-    Identical semantics to ``_lm_iteration`` (same damping, robust
-    weights, trial bookkeeping) with cg_iters -> exact."""
+    """
     Pw, M = prob.pm_uv.shape[:2]
     Kc = prob.cam_q.shape[0]
-    is_free = prob.pm_cslot >= 0
+    c = consts
 
-    r, Jp, Jc, dok = pm_linearize_all(prob, kind, cam_q, cam_t, pts)
-    chi2 = prob.pm_w * jnp.sum(r * r, axis=-1)
-    cost_here = jnp.sum(jnp.where(pm_edge_mask & dok,
-                                  _rho(chi2, huber_delta2), 0.0))
+    rx, ry, jp, jc, dok = _soa_linearize(c, kind, cam_q, cam_t, pts,
+                                         Pw, M)
+    chi2 = c.w0 * (rx * rx + ry * ry)
+    active = edge_mask_flat & dok
+    cost_here = jnp.sum(jnp.where(active, _rho(chi2, huber_delta2), 0.0))
     w_rob = _huber_w(chi2, huber_delta2) if robust \
         else jnp.ones_like(chi2)
-    w = jnp.where(pm_edge_mask & dok, prob.pm_w * w_rob, 0.0)
+    w = jnp.where(active, c.w0 * w_rob, 0.0)
 
-    wJp = Jp * w[..., None, None]
-    g_p = jnp.einsum("pmij,pmi->pj", wJp, r)               # [Pw, 3]
-    Hpp = jnp.einsum("pmia,pmib->pab", wJp, Jp)            # [Pw, 3, 3]
-    wJc = Jc * w[..., None, None]
-    g_c_e = jnp.einsum("pmij,pmi->pmj", wJc, r)            # [Pw, M, 6]
-    Hcc_e = jnp.einsum("pmia,pmib->pmab", wJc, Jc)         # [Pw, M, 6, 6]
-    Wblk = jnp.einsum("pmia,pmib->pmab", wJc, Jp)          # [Pw, M, 6, 3]
+    def msum(a):  # per-point reduction over the M obs slots
+        return jnp.sum(a.reshape(Pw, M), axis=1)
 
-    # one-hot camera incidence (fixed edges have Jc = 0, but mask anyway)
-    O = ((prob.pm_cslot[..., None] == jnp.arange(Kc, dtype=jnp.int32))
-         & is_free[..., None]).astype(jnp.float32)         # [Pw, M, Kc]
-    g_c = jnp.einsum("pmk,pmj->kj", O, g_c_e)              # [Kc, 6]
-    Hcc = jnp.einsum("pmk,pmab->kab", O, Hcc_e)            # [Kc, 6, 6]
+    # g_p [Pw, 3], Hpp [Pw, 3, 3] (6 unique comps)
+    wrx, wry = w * rx, w * ry
+    g_p = jnp.stack([msum(jp[0] * wrx + jp[3] * wry),
+                     msum(jp[1] * wrx + jp[4] * wry),
+                     msum(jp[2] * wrx + jp[5] * wry)], axis=-1)
+    hpp = [[None] * 3 for _ in range(3)]
+    for a in range(3):
+        for b in range(a, 3):
+            hpp[a][b] = msum(w * (jp[a] * jp[b] + jp[3 + a] * jp[3 + b]))
+    Hpp = jnp.stack(
+        [jnp.stack([hpp[0][0], hpp[0][1], hpp[0][2]], -1),
+         jnp.stack([hpp[0][1], hpp[1][1], hpp[1][2]], -1),
+         jnp.stack([hpp[0][2], hpp[1][2], hpp[2][2]], -1)], -2)
+
+    # per-edge camera-block columns, stacked for ONE one-hot matmul:
+    # 6 gradient comps + 21 unique Hcc comps -> [E, 27]
+    cols = [jc[a] * wrx + jc[6 + a] * wry for a in range(6)]
+    tri = []
+    for a in range(6):
+        for b in range(a, 6):
+            tri.append(w * (jc[a] * jc[b] + jc[6 + a] * jc[6 + b]))
+    S_e = jnp.stack(cols + tri, axis=-1)                   # [E, 27]
+    O = ((c.cslot[:, None] == jnp.arange(Kc, dtype=jnp.int32))
+         & c.is_free[:, None]).astype(jnp.float32)         # [E, Kc]
+    red = O.T @ S_e                                        # [Kc, 27]
+    g_c = red[:, :6]
+    iu = jnp.asarray(
+        [[0, 1, 2, 3, 4, 5], [1, 6, 7, 8, 9, 10], [2, 7, 11, 12, 13, 14],
+         [3, 8, 12, 15, 16, 17], [4, 9, 13, 16, 18, 19],
+         [5, 10, 14, 17, 19, 20]], jnp.int32)
+    Hcc = red[:, 6:][:, iu]                                # [Kc, 6, 6]
+
+    # Wblk (Jc^T W Jp, 18 comps) -> Z[p, k, a, b] via batched matmul
+    wb = [w * (jc[a] * jp[b] + jc[6 + a] * jp[3 + b])
+          for a in range(6) for b in range(3)]
+    Wstack = jnp.stack(wb, axis=-1)                        # [E, 18]
+    Z = jnp.einsum("pmk,pmj->pkj", O.reshape(Pw, M, Kc),
+                   Wstack.reshape(Pw, M, 18)).reshape(Pw, Kc, 6, 3)
 
     def damp(H, free, dim):
         diag = jnp.diagonal(H, axis1=-2, axis2=-1)
@@ -467,7 +630,6 @@ def _lm_iteration_dense(prob: WindowProblem, kind, cam_q, cam_t, pts, lam,
     Hpp_inv = _spd_inv3(damp(Hpp, prob.pt_valid, 3))
 
     # explicit Schur coupling via one big MXU matmul
-    Z = jnp.einsum("pmk,pmab->pkab", O, Wblk)              # [Pw, Kc, 6, 3]
     L = _chol3(Hpp_inv)                                    # [Pw, 3, 3]
     Zl = jnp.einsum("pkab,pbc->pkac", Z, L)
     Zf = Zl.transpose(0, 3, 1, 2).reshape(Pw * 3, Kc * 6)
@@ -484,9 +646,11 @@ def _lm_iteration_dense(prob: WindowProblem, kind, cam_q, cam_t, pts, lam,
     dx_c = jnp.where(prob.cam_valid[:, None], dx, 0.0)
     dx_c = jnp.where(jnp.all(jnp.isfinite(dx_c)), dx_c, 0.0)
 
-    # point back-substitution
-    vc = dx_c[jnp.clip(prob.pm_cslot, 0)]                  # [Pw, M, 6]
-    u = jnp.einsum("pmab,pma->pb", Wblk, vc)
+    # point back-substitution: u_b = sum_m Wblk[a,b] dxc[cslot][a]
+    vc = [dx_c[:, a][c.cslot] for a in range(6)]           # 6 x [E]
+    u = jnp.stack(
+        [msum(sum(wb[a * 3 + b0] * vc[a] for a in range(6)))
+         for b0 in range(3)], axis=-1)                     # [Pw, 3]
     dx_p = jnp.einsum("pab,pb->pa", Hpp_inv, -g_p - u)
     dx_p = jnp.where(prob.pt_valid[:, None], dx_p, 0.0)
     dx_p = jnp.where(jnp.isfinite(dx_p), dx_p, 0.0)
@@ -509,18 +673,22 @@ def run_window_ba_dense(prob: WindowProblem, kind: int, iters: int = 10,
     be built with ``with_cm=False``)."""
     mask0 = prob.pm_valid if pm_edge_mask is None \
         else (prob.pm_valid & pm_edge_mask)
+    consts = _flatten_consts(prob)
+    mask0_flat = mask0.reshape(-1)
+    Pw, M = prob.pm_uv.shape[:2]
 
     def final_cost_inliers(q, t, p):
-        r, _, _, dok = pm_linearize_all(prob, kind, q, t, p)
-        chi2 = prob.pm_w * jnp.sum(r * r, axis=-1)
-        active = prob.pm_valid & dok
+        rx, ry, _, _, dok = _soa_linearize(consts, kind, q, t, p, Pw, M)
+        chi2 = consts.w0 * (rx * rx + ry * ry)
+        active = consts.valid & dok
         inlier = active & (chi2 < chi2_th)
-        return inlier
+        return inlier.reshape(Pw, M)
 
     def body(_, carry):
         bq, bt, bp, bcost, q, t, p, lam = carry
         nq, nt, np_, cost = _lm_iteration_dense(
-            prob, kind, q, t, p, lam, mask0, huber_delta2, robust)
+            prob, consts, kind, q, t, p, lam, mask0_flat, huber_delta2,
+            robust)
         accept = cost < bcost
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-7),
                         jnp.minimum(lam * 4.0, 1e4))

@@ -86,3 +86,71 @@ def test_detect_candidates_split_and_gate():
     assert 6 not in set(mi[mok]) and 9 not in set(mi[mok])
     # best merge candidates by score: 8 gated? shared[8]=50 ok -> highest
     assert mi[0] == 8 and mok[0]
+
+
+def test_detect_candidates_grouped_rejects_isolated_hit():
+    """Covisibility-group accumulated scoring (reference
+    DetectNBestCandidates, src/KeyFrameDatabase.cc:604-730): an isolated
+    single-KF hit with the best RAW score is outranked by a covisible
+    group whose members each score slightly lower but accumulate higher;
+    groups below 0.75x the best accumulated score are rejected."""
+    K = 16
+    scores = np.zeros(K, np.float32)
+    shared = np.zeros(K, np.int32)
+    eligible = np.zeros(K, bool)
+    covis = np.zeros((K, K), np.int32)
+
+    # isolated candidate 3: best raw score, no covisible support
+    scores[3] = 0.50
+    shared[3] = 40
+    eligible[3] = True
+
+    # group {7, 8, 9}: individually weaker, mutually covisible
+    for i in (7, 8, 9):
+        scores[i] = 0.40
+        shared[i] = 40
+        eligible[i] = True
+    for i in (7, 8, 9):
+        for j in (7, 8, 9):
+            if i != j:
+                covis[i, j] = 50
+
+    # weak group {12, 13}: below the 0.75 * best-acc threshold
+    for i in (12, 13):
+        scores[i] = 0.15
+        shared[i] = 40
+        eligible[i] = True
+    covis[12, 13] = covis[13, 12] = 50
+
+    reps, acc, ok = bow.detect_candidates_grouped(
+        jnp.asarray(scores), jnp.asarray(shared), jnp.asarray(eligible),
+        jnp.asarray(covis), n_out=6)
+    reps = np.asarray(reps)[np.asarray(ok)]
+    accs = np.asarray(acc)[np.asarray(ok)]
+    # the top-ranked representative comes from the covisible group, with
+    # accumulated score 1.2 > the isolated KF's 0.5
+    assert reps[0] in (7, 8, 9)
+    assert abs(accs[0] - 1.2) < 1e-5
+    # the isolated hit survives only if >= 0.75 * best acc — 0.5 < 0.9
+    assert 3 not in reps
+    # the weak group is rejected too
+    assert 12 not in reps and 13 not in reps
+
+
+def test_detect_candidates_grouped_common_word_gate():
+    """Candidates sharing fewer than 0.8 * max common words are not
+    scored (the reference's minCommonWords gate)."""
+    K = 8
+    scores = np.full(K, 0.4, np.float32)
+    shared = np.zeros(K, np.int32)
+    eligible = np.ones(K, bool)
+    covis = np.zeros((K, K), np.int32)
+    shared[2] = 100   # max
+    shared[4] = 85    # > 0.8 * 100: scored
+    shared[5] = 60    # < 0.8 * 100: gated out
+    reps, acc, ok = bow.detect_candidates_grouped(
+        jnp.asarray(scores), jnp.asarray(shared), jnp.asarray(eligible),
+        jnp.asarray(covis), n_out=4)
+    reps = set(int(r) for r, o in zip(np.asarray(reps), np.asarray(ok))
+               if o)
+    assert 2 in reps and 4 in reps and 5 not in reps

@@ -189,3 +189,28 @@ def test_candidate_precision_10k_leaves_rendered(n_pass):
             hits += 1
     precision = hits / len(q_feats)
     assert precision >= 0.9, precision
+
+
+def test_synthesized_1m_leaf_vocabulary_quantize():
+    """Reference-regime vocabulary: 10^6 leaves (k=10, L=6 — the ORBvoc
+    shape loaded by the reference at startup).  Synthesis + quantization
+    of a full frame of descriptors must work at this scale; packed device
+    footprint stays ~35 MB."""
+    voc = bow.synthesize_vocabulary(k=10, depth=6, seed=1)
+    assert voc.n_leaves == 10 ** 6
+    n_bytes = sum(int(np.prod(c.shape)) for c in voc.centroid_bits)
+    assert n_bytes < 40e6, n_bytes  # packed u8: ~35.5 MB
+
+    rng = np.random.default_rng(0)
+    desc = rng.integers(0, 256, (768, 32), dtype=np.uint8)
+    from mam3slam_tpu.ops import matching as M
+    bits = M.unpack_desc(jnp.asarray(desc))
+    words = np.asarray(bow.quantize(voc, bits))
+    assert words.shape == (768,)
+    assert (words >= 0).all() and (words < voc.n_leaves).all()
+    # hierarchical coherence: a leaf centroid quantizes to itself
+    leaf_bits = np.unpackbits(
+        np.asarray(voc.centroid_bits[-1][:64]), axis=-1,
+        bitorder="little")
+    w2 = np.asarray(bow.quantize(voc, jnp.asarray(leaf_bits)))
+    assert (w2 == np.arange(64)).mean() > 0.9, w2[:16]
