@@ -479,6 +479,18 @@ class AgentState:
     t: Optional[jnp.ndarray] = None
     vel_q: Optional[jnp.ndarray] = None   # constant-velocity model
     vel_t: Optional[jnp.ndarray] = None
+    # mono-inertial state (reference Tracking mono-IMU plumbing,
+    # src/Tracking.cc:1633 PreintegrateIMU + PredictStateIMU): world
+    # velocity + gyro/acc biases, body frame == camera frame (Tbc = I)
+    imu_calib: Optional[object] = None    # solvers.imu.ImuCalib
+    vel_w: Optional[np.ndarray] = None    # [3] world velocity estimate
+    bias_g: Optional[np.ndarray] = None
+    bias_a: Optional[np.ndarray] = None
+    last_ts: Optional[float] = None
+    # frames where the tight first-stage search failed and the widened /
+    # BoW-fallback stages had to rescue tracking (prediction quality
+    # telemetry; IMU prediction should keep this near zero)
+    n_fallback: int = 0
     last_frame: Optional[steps.FrameObs] = None
     last_feat_mp: Optional[jnp.ndarray] = None
     init_frame: Optional[steps.FrameObs] = None
@@ -615,11 +627,15 @@ class SlamSystem:
             f"(raise MapConfig.max_maps)")
 
     # ------------------------------------------------------------------
-    def track(self, agent_id: int, frame: steps.FrameObs, ts: float):
+    def track(self, agent_id: int, frame: steps.FrameObs, ts: float,
+              imu=None):
         """Process one frame for one agent; returns (state, T_cw or None).
 
         The reference's Tracking::Track state machine (src/Tracking.cc:1803).
-        """
+        ``imu``: optional (gyro [N,3], acc [N,3], dts [N]) measurements
+        since the previous frame — enables IMU state prediction in place
+        of the constant-velocity model (mono-inertial tracking; reference
+        PreintegrateIMU/PredictStateIMU, src/Tracking.cc:1633,2060)."""
         import time
         t0 = time.perf_counter()
         if self._worker_error is not None:
@@ -629,12 +645,37 @@ class SlamSystem:
         if a.state in (NO_IMAGES_YET, NOT_INITIALIZED):
             self._monocular_initialization(a, frame, ts)
         else:
-            self._track_frame(a, frame, ts)
+            self._track_frame(a, frame, ts, imu=imu)
         a.last_frame = frame
         a.times_ms.append((time.perf_counter() - t0) * 1e3)
         if a.q is not None:
             self._record_trajectory(a, ts)
+        a.last_ts = ts
         return a.state, (a.q, a.t) if a.q is not None else None
+
+    def _imu_predict(self, a: AgentState, imu, dt_total: float):
+        """Navigation-state prediction through the preintegrated IMU
+        window (reference Tracking::PredictStateIMU): returns predicted
+        (q_cw, t_cw) from the last pose + world-velocity estimate."""
+        from mam3slam_tpu.solvers import imu as imu_mod
+
+        gyro, acc, dts = imu
+        calib = a.imu_calib or imu_mod.ImuCalib(
+            sigma_g=jnp.asarray(1.7e-4), sigma_a=jnp.asarray(2e-3),
+            walk_g=jnp.asarray(1.9e-5), walk_a=jnp.asarray(3e-3))
+        bg = jnp.zeros(3) if a.bias_g is None else jnp.asarray(a.bias_g)
+        ba = jnp.zeros(3) if a.bias_a is None else jnp.asarray(a.bias_a)
+        pre = imu_mod.preintegrate(
+            jnp.asarray(gyro), jnp.asarray(acc), jnp.asarray(dts),
+            jnp.ones(len(dts), bool), bg, ba, calib)
+        R_cw = lie.quat_to_matrix(a.q)
+        R_wb = R_cw.T                       # body frame == camera frame
+        C = -R_wb @ a.t
+        v_w = jnp.zeros(3) if a.vel_w is None else jnp.asarray(a.vel_w)
+        R2, v2, p2 = imu_mod.predict_state(pre, R_wb, v_w, C, bg, ba)
+        q_pred = lie.quat_from_matrix(R2.T)
+        t_pred = -R2.T @ p2
+        return q_pred, t_pred
 
     # ------------------------------------------------------------------
     def _monocular_initialization(self, a: AgentState, frame, ts):
@@ -700,7 +741,7 @@ class SlamSystem:
                            f"mps={int(self.ms.mp_valid.sum())}")
 
     # ------------------------------------------------------------------
-    def _track_frame(self, a: AgentState, frame, ts):
+    def _track_frame(self, a: AgentState, frame, ts, imu=None):
         cfg = self.cfg
         # one immutable snapshot per frame: concurrent mapping/server
         # publications (async mode) never shear mid-frame.  Epoch is read
@@ -711,8 +752,11 @@ class SlamSystem:
         # a post-mapping map).
         snap_epoch = self.ms_epoch
         ms = self.ms
-        # constant velocity prediction
-        if a.vel_q is not None:
+        # pose prediction: IMU navigation state when measurements are
+        # provided (mono-inertial), else the constant-velocity model
+        if imu is not None and a.q is not None and a.last_ts is not None:
+            q_pred, t_pred = self._imu_predict(a, imu, ts - a.last_ts)
+        elif a.vel_q is not None:
             q_pred = lie.quat_normalize(lie.quat_mul(a.vel_q, a.q))
             t_pred = lie.quat_rotate(a.vel_q, a.t) + a.vel_t
         else:
@@ -730,6 +774,7 @@ class SlamSystem:
                               jnp.asarray(6.0), M.TH_HIGH, jnp.asarray(0.9))
         n_in_i = int(n_in)
         if n_in_i < cfg.min_track_inliers_lost:
+            a.n_fallback += 1
             # widen 2x (reference widens 2x then falls back to BoW
             # reference-KF tracking)
             feat_mp, n_m, q, t, inlier, n_in, visible = self.fns[
@@ -809,6 +854,12 @@ class SlamSystem:
             inv_last = lie.se3_inverse(lie.SE3(a.q, a.t))
             v = lie.se3_compose(lie.SE3(q, t), inv_last)
             a.vel_q, a.vel_t = v.q, v.t
+            # world-velocity estimate for the IMU prediction path
+            if a.last_ts is not None and ts > a.last_ts:
+                C_old = np.asarray(-lie.quat_rotate(lie.quat_conj(a.q),
+                                                    a.t))
+                C_new = np.asarray(-lie.quat_rotate(lie.quat_conj(q), t))
+                a.vel_w = (C_new - C_old) / (ts - a.last_ts)
         a.q, a.t = q, t
         a.last_feat_mp = feat_mp
         a.frames_since_kf += 1
