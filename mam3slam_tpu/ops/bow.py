@@ -300,15 +300,17 @@ def default_vocabulary():
     if present, else None (the server then trains a bootstrap vocabulary
     from the stream).  Cached per process."""
     global _DEFAULT_VOC
-    if _DEFAULT_VOC is not None:
-        return _DEFAULT_VOC or None
     import os
     cand = os.environ.get("MAM3_VOCAB") or os.path.join(
         os.path.dirname(__file__), "..", "..", "data", "ORBvoc.txt")
+    # cache keyed on the resolved path — a MAM3_VOCAB set (or the file
+    # appearing) after a miss is picked up by the next lookup instead of
+    # being shadowed by a process-lifetime negative cache
+    if isinstance(_DEFAULT_VOC, tuple) and _DEFAULT_VOC[0] == cand:
+        return _DEFAULT_VOC[1]
     if cand and os.path.exists(cand):
-        _DEFAULT_VOC = load_orbvoc_text(cand)
-        return _DEFAULT_VOC
-    _DEFAULT_VOC = False
+        _DEFAULT_VOC = (cand, load_orbvoc_text(cand))
+        return _DEFAULT_VOC[1]
     return None
 
 

@@ -463,9 +463,14 @@ class LoopServer:
         rel = lie.sim3_compose(T_cur, lie.sim3_inverse(T_prev))
         S_cur = lie.sim3_compose(rel, S_prev)
 
-        n_proj_th = cfg.n_refine_proj or 2 * cfg.n_proj_matches
-        n_opt_th = cfg.n_refine_opt or int(2.5 * cfg.n_proj_opt_matches)
-        n_rep_th = cfg.n_refine_rep or 5 * cfg.n_proj_opt_matches
+        # `is None` (not falsy-or): an explicitly configured 0 must
+        # disable the gate, not silently re-derive the default
+        n_proj_th = (cfg.n_refine_proj if cfg.n_refine_proj is not None
+                     else 2 * cfg.n_proj_matches)
+        n_opt_th = (cfg.n_refine_opt if cfg.n_refine_opt is not None
+                    else int(2.5 * cfg.n_proj_opt_matches))
+        n_rep_th = (cfg.n_refine_rep if cfg.n_refine_rep is not None
+                    else 5 * cfg.n_proj_opt_matches)
 
         mp_mask = self._candidate_window_points(h.target_kf)
         mres, n1 = self._project_match_sim3(kf, S_cur, mp_mask, th=8.0)

@@ -79,6 +79,9 @@ class SlamConfig:
     kf_min_interval: int = 3
     kf_ref_ratio: float = 0.9
     recently_lost_frames: int = 60
+    # mono-inertial initialization: contiguous tracked span buffered
+    # before estimating gravity/scale/biases (reference InitializeIMU)
+    imu_init_window_s: float = 2.0
     # mapping
     n_triangulate_neighbors: int = 8
     lba_window: int = 16
@@ -434,8 +437,10 @@ def _compiled(cfg: SlamConfig, kind: int):
                                                   kind, W, H, sf)
         ms = S.rebuild_reverse_obs(ms)
         ms = S.update_covis_for_kf(ms, kf)
+        # cap = true worst case: F fresh triangulations + F fuse-added
+        # observations + F replace survivors can all be distinct points
         ms = S.refresh_mp_stats_compact(
-            ms, S.compact_indices(touched | new_pts, 2 * cfg.n_feat), sf)
+            ms, S.compact_indices(touched | new_pts, 3 * cfg.n_feat), sf)
         ms = local_ba(ms, kf)
         cull_idx, cull_w, cull_ok = S.best_covisible(ms, kf, 10)
         return (ms, n_culled, n_new, n_drop, n_fused, cull_idx, cull_ok)
@@ -483,9 +488,20 @@ class AgentState:
     # src/Tracking.cc:1633 PreintegrateIMU + PredictStateIMU): world
     # velocity + gyro/acc biases, body frame == camera frame (Tbc = I)
     imu_calib: Optional[object] = None    # solvers.imu.ImuCalib
-    vel_w: Optional[np.ndarray] = None    # [3] world velocity estimate
+    vel_w: Optional[np.ndarray] = None    # [3] world velocity (map units/s)
     bias_g: Optional[np.ndarray] = None
     bias_a: Optional[np.ndarray] = None
+    # mono-inertial initialization state (reference
+    # LocalMapping::InitializeIMU): the monocular map is median-depth-
+    # rescaled and its world frame is the first camera pose — neither
+    # metric nor gravity-aligned — so IMU prediction is GATED on a
+    # successful gravity/scale/bias estimate over a buffered window.
+    # Until then tracking falls back to the constant-velocity model.
+    imu_initialized: bool = False
+    imu_init_map: int = -1                # map the estimate belongs to
+    imu_scale: float = 1.0                # metres per map unit
+    gravity_w: Optional[np.ndarray] = None  # metric gravity in map frame
+    imu_buf: List = field(default_factory=list)  # (ts, q, t, gyro, acc, dts)
     last_ts: Optional[float] = None
     # frames where the tight first-stage search failed and the widened /
     # BoW-fallback stages had to rescue tracking (prediction quality
@@ -653,16 +669,25 @@ class SlamSystem:
         a.last_ts = ts
         return a.state, (a.q, a.t) if a.q is not None else None
 
+    @staticmethod
+    def _default_imu_calib():
+        from mam3slam_tpu.solvers import imu as imu_mod
+        return imu_mod.ImuCalib(
+            sigma_g=jnp.asarray(1.7e-4), sigma_a=jnp.asarray(2e-3),
+            walk_g=jnp.asarray(1.9e-5), walk_a=jnp.asarray(3e-3))
+
     def _imu_predict(self, a: AgentState, imu, dt_total: float):
         """Navigation-state prediction through the preintegrated IMU
         window (reference Tracking::PredictStateIMU): returns predicted
-        (q_cw, t_cw) from the last pose + world-velocity estimate."""
+        (q_cw, t_cw) from the last pose + world-velocity estimate.
+
+        Only called after mono-inertial initialization: the prediction is
+        run in METRIC units (nav state scaled by ``imu_scale``) under the
+        estimated map-frame gravity, then mapped back to map units."""
         from mam3slam_tpu.solvers import imu as imu_mod
 
         gyro, acc, dts = imu
-        calib = a.imu_calib or imu_mod.ImuCalib(
-            sigma_g=jnp.asarray(1.7e-4), sigma_a=jnp.asarray(2e-3),
-            walk_g=jnp.asarray(1.9e-5), walk_a=jnp.asarray(3e-3))
+        calib = a.imu_calib or self._default_imu_calib()
         bg = jnp.zeros(3) if a.bias_g is None else jnp.asarray(a.bias_g)
         ba = jnp.zeros(3) if a.bias_a is None else jnp.asarray(a.bias_a)
         pre = imu_mod.preintegrate(
@@ -672,10 +697,98 @@ class SlamSystem:
         R_wb = R_cw.T                       # body frame == camera frame
         C = -R_wb @ a.t
         v_w = jnp.zeros(3) if a.vel_w is None else jnp.asarray(a.vel_w)
-        R2, v2, p2 = imu_mod.predict_state(pre, R_wb, v_w, C, bg, ba)
+        s = a.imu_scale
+        g_w = (jnp.asarray(a.gravity_w) if a.gravity_w is not None
+               else jnp.asarray([0.0, 0.0, -imu_mod.GRAVITY]))
+        R2, v2, p2 = imu_mod.predict_state(pre, R_wb, s * v_w, s * C,
+                                           bg, ba, gravity=g_w)
         q_pred = lie.quat_from_matrix(R2.T)
-        t_pred = -R2.T @ p2
+        t_pred = -R2.T @ (p2 / s)
         return q_pred, t_pred
+
+    def _imu_buffer_and_init(self, a: AgentState, ts: float, imu):
+        """Accumulate successfully-tracked (pose, IMU-window) pairs and,
+        once the buffer spans ``imu_init_window_s`` of contiguous
+        tracking, run the mono-inertial initialization (reference
+        LocalMapping::InitializeIMU -> InertialOptimization): the visual
+        poses are held fixed while gravity direction, map scale, shared
+        biases and per-state velocities are estimated."""
+        gyro, acc, dts = (np.asarray(imu[0], np.float32),
+                          np.asarray(imu[1], np.float32),
+                          np.asarray(imu[2], np.float32))
+        a.imu_buf.append((ts, np.asarray(a.q, np.float32),
+                          np.asarray(a.t, np.float32), gyro, acc, dts))
+        if len(a.imu_buf) > 64:
+            a.imu_buf = a.imu_buf[-64:]
+        if a.imu_initialized and a.imu_init_map == a.map_id:
+            return
+        cfg = self.cfg
+        if (len(a.imu_buf) < 8
+                or a.imu_buf[-1][0] - a.imu_buf[0][0]
+                < cfg.imu_init_window_s):
+            return
+        from mam3slam_tpu.solvers import imu as imu_mod
+        from mam3slam_tpu.solvers import vi as vi_mod
+
+        buf = a.imu_buf
+        # subsample to <= 16 nav states; the IMU samples between two
+        # selected states are concatenated (preintegration over the
+        # merged window == merged preintegration)
+        K = len(buf)
+        sel = np.unique(np.linspace(0, K - 1, min(K, 16)).round()
+                        .astype(int))
+        segs = []
+        for m in range(len(sel) - 1):
+            lo, hi = sel[m], sel[m + 1]
+            g = np.concatenate([buf[i][3] for i in range(lo + 1, hi + 1)])
+            ac = np.concatenate([buf[i][4] for i in range(lo + 1, hi + 1)])
+            dt = np.concatenate([buf[i][5] for i in range(lo + 1, hi + 1)])
+            segs.append((g, ac, dt))
+        Lmax = max(s_[0].shape[0] for s_ in segs)
+        E = len(segs)
+        G = np.zeros((E, Lmax, 3), np.float32)
+        Ac = np.zeros((E, Lmax, 3), np.float32)
+        Dt = np.zeros((E, Lmax), np.float32)
+        Vm = np.zeros((E, Lmax), bool)
+        for m, (g, ac, dt) in enumerate(segs):
+            n = g.shape[0]
+            G[m, :n], Ac[m, :n], Dt[m, :n], Vm[m, :n] = g, ac, dt, True
+        calib = a.imu_calib or self._default_imu_calib()
+        z3 = jnp.zeros(3)
+        pre_b = jax.vmap(lambda g, ac, dt, v: imu_mod.preintegrate(
+            g, ac, dt, v, z3, z3, calib))(
+            jnp.asarray(G), jnp.asarray(Ac), jnp.asarray(Dt),
+            jnp.asarray(Vm))
+        Ks = len(sel)
+        iedges = vi_mod.InertialEdges(
+            i=jnp.arange(Ks - 1, dtype=jnp.int32),
+            j=jnp.arange(1, Ks, dtype=jnp.int32),
+            preint=pre_b, valid=jnp.ones(Ks - 1, bool))
+        q_s = jnp.asarray(np.stack([buf[i][1] for i in sel]))
+        t_s = jnp.asarray(np.stack([buf[i][2] for i in sel]))
+        Rwg, s, bg, ba, vel = vi_mod.inertial_optimization(
+            q_s, t_s, jnp.ones(Ks, bool), iedges, calib,
+            fix_scale=False, iters=40)
+        s_f = float(s)
+        ok = (np.isfinite(s_f) and 0.02 < s_f < 50.0
+              and bool(jnp.all(jnp.isfinite(bg)))
+              and bool(jnp.all(jnp.isfinite(ba)))
+              and bool(jnp.all(jnp.isfinite(vel))))
+        if not ok:
+            # drop the oldest half and retry later with fresh data
+            a.imu_buf = a.imu_buf[len(a.imu_buf) // 2:]
+            return
+        a.bias_g = np.asarray(bg, np.float32)
+        a.bias_a = np.asarray(ba, np.float32)
+        a.imu_scale = s_f
+        a.gravity_w = np.asarray(
+            Rwg @ jnp.asarray([0.0, 0.0, -imu_mod.GRAVITY]), np.float32)
+        a.vel_w = np.asarray(vel[-1], np.float32) / s_f  # map units/s
+        a.imu_initialized = True
+        a.imu_init_map = a.map_id
+        self.events.append(
+            f"IMU_INIT agent={a.agent_id} map={a.map_id} "
+            f"scale={s_f:.4f}")
 
     # ------------------------------------------------------------------
     def _monocular_initialization(self, a: AgentState, frame, ts):
@@ -753,8 +866,11 @@ class SlamSystem:
         snap_epoch = self.ms_epoch
         ms = self.ms
         # pose prediction: IMU navigation state when measurements are
-        # provided (mono-inertial), else the constant-velocity model
-        if imu is not None and a.q is not None and a.last_ts is not None:
+        # provided AND the mono-inertial initialization for this map has
+        # run (gravity/scale/bias estimated — reference gates
+        # PredictStateIMU on Map::isImuInitialized); else constant velocity
+        if (imu is not None and a.q is not None and a.last_ts is not None
+                and a.imu_initialized and a.imu_init_map == a.map_id):
             q_pred, t_pred = self._imu_predict(a, imu, ts - a.last_ts)
         elif a.vel_q is not None:
             q_pred = lie.quat_normalize(lie.quat_mul(a.vel_q, a.q))
@@ -841,7 +957,9 @@ class SlamSystem:
                 a.state = LOST
                 self._create_map_in_atlas(a)
                 return
-            # keep predicted pose; velocity unchanged
+            # keep predicted pose; velocity unchanged.  The pose chain
+            # broke — IMU-init buffering needs contiguous tracked poses
+            a.imu_buf.clear()
             a.q, a.t = q_pred, t_pred
             a.frames_since_kf += 1
             return
@@ -863,6 +981,8 @@ class SlamSystem:
         a.q, a.t = q, t
         a.last_feat_mp = feat_mp
         a.frames_since_kf += 1
+        if imu is not None:
+            self._imu_buffer_and_init(a, ts, imu)
 
         if self._need_new_keyframe(a, n_in_i):
             self._create_keyframe(a, frame, feat_mp, inlier, ts,

@@ -37,17 +37,39 @@ def test_slow_consumer_drops_and_gets_freshest():
 
 
 def test_fast_consumer_sees_everything():
+    """Zero-drop property of the buffer itself, deterministically: when
+    every push is consumed before the next push (interlocked, no wall-
+    clock races), nothing is ever dropped."""
+    buf = LatestFrameBuffer()
+    taken = []
+    for i in range(50):
+        buf.push(i / 1000.0, i)
+        taken.append(buf.take(timeout_s=2.0))
+    buf.close()
+    assert buf.take(timeout_s=0.1) is None
+    assert buf.n_dropped == 0
+    assert [i for _, i in taken] == list(range(50))
+
+
+def test_fast_consumer_realtime_nearly_lossless():
+    """Wall-clock-paced variant: a consumer much faster than the camera
+    sees (almost) everything.  A small drop budget absorbs scheduler
+    stalls under parallel test load — the contract under real load is
+    'freshest frame, bounded drops', not 'zero drops on a busy host'."""
     buf = LatestFrameBuffer()
     replay_realtime([(i / 1000.0, i) for i in range(50)], buf,
-                    rate_hz=200.0)
+                    rate_hz=50.0)
     taken = []
     while True:
         item = buf.take(timeout_s=2.0)
         if item is None:
             break
         taken.append(item)
-    assert buf.n_dropped == 0
-    assert [i for _, i in taken] == list(range(50))
+    assert buf.n_dropped <= 2, buf.n_dropped
+    assert len(taken) >= 48
+    ids = [i for _, i in taken]
+    assert all(b > a for a, b in zip(ids, ids[1:]))
+    assert ids[-1] == 49
 
 
 def test_tracking_survives_drops():
