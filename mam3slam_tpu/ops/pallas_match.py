@@ -128,3 +128,93 @@ def fused_masked_match(bits_q, q_uv, q_radius, q_level, q_valid,
       bits_t, t_uv, t_level[:, None].astype(jnp.float32),
       t_valid[:, None].astype(jnp.float32))
     return idx[:Q, 0], d1[:Q, 0], d2[:Q, 0]
+
+
+# ---------------------------------------------------------------------------
+# fused Hamming matmul + 2-min reduction over target tiles
+# ---------------------------------------------------------------------------
+
+def _minham2_kernel(q_ref, t_ref, tvalid_ref, d1_ref, d2_ref, idx_ref):
+    """One target tile: distances stay in VMEM; running (best, second,
+    argbest) carried in the revisited output refs across grid steps."""
+    j = pl.program_id(0)
+    q = q_ref[:]                                  # [Q, 256] bf16
+    t = t_ref[:]                                  # [TM, 256] bf16
+    dot = jax.lax.dot_general(
+        q, t, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)       # [Q, TM]  (MXU)
+    pop_q = jnp.sum(q.astype(jnp.float32), axis=1, keepdims=True)
+    pop_t = jnp.sum(t.astype(jnp.float32), axis=1, keepdims=True)
+    ham = pop_q + pop_t.T - 2.0 * dot
+    ham = jnp.where(tvalid_ref[:, 0:1].T > 0, ham, BIG)
+    tm = ham.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, ham.shape, 1)
+    d1n = jnp.min(ham, axis=1)
+    i1n = jnp.argmin(ham, axis=1).astype(jnp.int32)
+    d2n = jnp.min(jnp.where(col == i1n[:, None], BIG, ham), axis=1)
+    i1n = i1n + j * tm
+
+    @pl.when(j == 0)
+    def _():
+        d1_ref[:] = d1n[:, None]
+        d2_ref[:] = d2n[:, None]
+        idx_ref[:] = i1n[:, None]
+
+    @pl.when(j > 0)
+    def _():
+        a1 = d1_ref[:, 0]
+        a2 = d2_ref[:, 0]
+        ai = idx_ref[:, 0]
+        d1_ref[:] = jnp.minimum(a1, d1n)[:, None]
+        d2_ref[:] = jnp.minimum(jnp.maximum(a1, d1n),
+                                jnp.minimum(a2, d2n))[:, None]
+        idx_ref[:] = jnp.where(d1n < a1, i1n, ai)[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile_m"))
+def min_hamming2(bits_q, bits_t, t_valid, interpret: bool = False,
+                 tile_m: int = 2048):
+    """Best + second-best Hamming distance of every query against ALL
+    targets, fully fused: the [Q, M] distance matrix never leaves VMEM
+    (the XLA einsum+min path round-trips it through HBM — measured
+    bandwidth-bound at ~16% MXU; this kernel is the matcher's
+    speed-of-light core).  bits are unpacked 0/1 bf16 [*, 256].
+
+    Returns (idx [Q] i32, d1 [Q] f32, d2 [Q] f32); invalid targets get
+    distance BIG."""
+    Q = bits_q.shape[0]
+    Mt = bits_t.shape[0]
+    pad_m = (-Mt) % tile_m
+    if pad_m:
+        bits_t = jnp.pad(bits_t, ((0, pad_m), (0, 0)))
+        t_valid = jnp.pad(t_valid, (0, pad_m))
+    Mp = Mt + pad_m
+    grid = (Mp // tile_m,)
+
+    d1, d2, idx = pl.pallas_call(
+        _minham2_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Q, 256), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, 256), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, 1), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Q, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, 1), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Q, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Q, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Q, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(bits_q, bits_t, t_valid[:, None].astype(jnp.float32))
+    return idx[:, 0], d1[:, 0], d2[:, 0]

@@ -400,3 +400,215 @@ def _make_runner(mesh: Mesh, kind: int, axis: str, iters: int,
                                pm_inlier=inlier, cost=bcost)
 
     return jax.jit(_run)
+
+
+# ---------------------------------------------------------------------------
+# distributed DENSE reduced-camera solver — ONE psum per LM iteration
+# ---------------------------------------------------------------------------
+
+def dist_run_window_ba_dense(prob: bw.WindowProblem, mesh: Mesh, kind: int,
+                             axis: str = "shard", iters: int = 10,
+                             huber_delta2: float = CHI2,
+                             robust: bool = True,
+                             chi2_th: float = CHI2) -> bw.WindowResult:
+    """Distributed form of ``bw.run_window_ba_dense`` (the production
+    single-chip LBA/GBA solver): points + their point-major edges are
+    owner-partitioned along ``mesh[axis]``; camera state is replicated.
+
+    Per LM iteration each device
+
+    1. linearizes its LOCAL edge shard (flat SoA),
+    2. eliminates its LOCAL points (3x3 ``Hpp^-1`` — done exactly once
+       per point across the mesh),
+    3. forms its shard of the reduced camera system with local one-hot
+       matmuls: ``red = O^T S_e`` ([Kc, 27] grad+Hcc comps) and the Schur
+       coupling ``C = (Z L)(Z L)^T`` ([6Kc, 6Kc]),
+    4. contributes to ONE ``psum`` of the packed
+       ``(C, red, b_z, cost)`` buffer — the iteration's only collective,
+    5. solves the (replicated, tiny: 6 Kc <= ~1.5k) reduced system with a
+       dense Cholesky and back-substitutes its local points.
+
+    vs ``dist_run_window_ba`` (implicit-Schur CG): that path pays 2
+    ``all_gather`` per CG matvec (~60 collectives per LM iteration);
+    latency-dominated on small messages, it stopped scaling past 2
+    devices (round-3 MULTICHIP_SCALING).  Here communication per LM
+    iteration is one fused ~(6Kc)^2-float reduction regardless of edge
+    count, so per-device work is O(E/n + Pw/n + Kc^2) with an O(Kc^3)
+    replicated Cholesky tail (Amdahl term; negligible for Kc <= 256).
+    Reference mapping: SURVEY §2.6 "BA reductions -> psum over ICI"
+    (g2o's single-threaded sparse LM, src/Optimizer.cc:1116)."""
+    n = mesh.shape[axis]
+    prob = pad_problem(prob, n)
+    runner = _make_dense_runner(mesh, kind, axis, iters,
+                                float(huber_delta2), bool(robust),
+                                float(chi2_th), prob.cam_q.shape[0],
+                                prob.pts.shape[0], prob.pm_uv.shape[1])
+    return runner(prob)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_dense_runner(mesh: Mesh, kind: int, axis: str, iters: int,
+                       huber_delta2: float, robust: bool, chi2_th: float,
+                       Kc: int, Pw: int, M: int):
+    n = mesh.shape[axis]
+    Pl = Pw // n
+
+    shard0 = P(axis)
+    repl = P()
+    # camera block replicated; point block + pm edges owner-partitioned;
+    # the camera-major view is unused by the dense path (spec'd sharded so
+    # with_cm=False zero-row problems and full problems both slice)
+    in_specs = bw.WindowProblem(
+        cam_idx=repl, cam_valid=repl, cam_q=repl, cam_t=repl,
+        cam_params=repl,
+        cm_uv=shard0, cm_w=shard0, cm_pt=shard0, cm_mslot=shard0,
+        cm_valid=shard0,
+        pt_idx=shard0, pt_valid=shard0, pts=shard0,
+        pm_kf=shard0, pm_feat=shard0, pm_cslot=shard0,
+        pm_uv=shard0, pm_w=shard0, pm_valid=shard0,
+        pm_q0=shard0, pm_t0=shard0, pm_params0=shard0,
+        cam_slot_of=repl, pt_slot_of=repl)
+    out_specs = bw.WindowResult(cam_q=repl, cam_t=repl, pts=shard0,
+                                pm_inlier=shard0, cost=repl)
+
+    iu = jnp.asarray(
+        [[0, 1, 2, 3, 4, 5], [1, 6, 7, 8, 9, 10], [2, 7, 11, 12, 13, 14],
+         [3, 8, 12, 15, 16, 17], [4, 9, 13, 16, 18, 19],
+         [5, 10, 14, 17, 19, 20]], jnp.int32)
+
+    @functools.partial(jax.shard_map, mesh=mesh, in_specs=(in_specs,),
+                       out_specs=out_specs, check_vma=False)
+    def _run(lp: bw.WindowProblem):
+        consts = bw._flatten_consts(lp)            # local [E_l] SoA
+        mask_flat = consts.valid
+
+        def damp(H, free, dim, lam):
+            diag = jnp.diagonal(H, axis1=-2, axis2=-1)
+            add = lam * jnp.maximum(diag, 1e-6) + 1e-8
+            H = H + add[..., None] * jnp.eye(dim, dtype=H.dtype)
+            return jnp.where(free[:, None, None], H,
+                             jnp.eye(dim, dtype=H.dtype))
+
+        def msum(a):
+            return jnp.sum(a.reshape(Pl, M), axis=1)
+
+        def lm_iter(cam_q, cam_t, pts_local, lam):
+            c = consts
+            rx, ry, jp, jc, dok = bw._soa_linearize(
+                c, kind, cam_q, cam_t, pts_local, Pl, M)
+            chi2 = c.w0 * (rx * rx + ry * ry)
+            active = mask_flat & dok
+            cost_part = jnp.sum(jnp.where(
+                active, bw._rho(chi2, huber_delta2), 0.0))
+            w_rob = bw._huber_w(chi2, huber_delta2) if robust \
+                else jnp.ones_like(chi2)
+            w = jnp.where(active, c.w0 * w_rob, 0.0)
+
+            # local point elimination (each point owned by one device)
+            wrx, wry = w * rx, w * ry
+            g_p = jnp.stack([msum(jp[0] * wrx + jp[3] * wry),
+                             msum(jp[1] * wrx + jp[4] * wry),
+                             msum(jp[2] * wrx + jp[5] * wry)], axis=-1)
+            hpp = [[None] * 3 for _ in range(3)]
+            for a in range(3):
+                for b in range(a, 3):
+                    hpp[a][b] = msum(w * (jp[a] * jp[b]
+                                          + jp[3 + a] * jp[3 + b]))
+            Hpp = jnp.stack(
+                [jnp.stack([hpp[0][0], hpp[0][1], hpp[0][2]], -1),
+                 jnp.stack([hpp[0][1], hpp[1][1], hpp[1][2]], -1),
+                 jnp.stack([hpp[0][2], hpp[1][2], hpp[2][2]], -1)], -2)
+            Hpp_inv = bw._spd_inv3(damp(Hpp, lp.pt_valid, 3, lam))
+
+            # local shard of the reduced camera system
+            cols = [jc[a] * wrx + jc[6 + a] * wry for a in range(6)]
+            tri = [w * (jc[a] * jc[b] + jc[6 + a] * jc[6 + b])
+                   for a in range(6) for b in range(a, 6)]
+            S_e = jnp.stack(cols + tri, axis=-1)           # [E_l, 27]
+            O = ((c.cslot[:, None] == jnp.arange(Kc, dtype=jnp.int32))
+                 & c.is_free[:, None]).astype(jnp.float32)  # [E_l, Kc]
+            red_part = O.T @ S_e                           # [Kc, 27]
+
+            wb = [w * (jc[a] * jp[b] + jc[6 + a] * jp[3 + b])
+                  for a in range(6) for b in range(3)]
+            Wstack = jnp.stack(wb, axis=-1)                # [E_l, 18]
+            Z = jnp.einsum("pmk,pmj->pkj", O.reshape(Pl, M, Kc),
+                           Wstack.reshape(Pl, M, 18)).reshape(Pl, Kc, 6, 3)
+
+            L = bw._chol3(Hpp_inv)
+            Zl = jnp.einsum("pkab,pbc->pkac", Z, L)
+            Zf = Zl.transpose(0, 3, 1, 2).reshape(Pl * 3, Kc * 6)
+            C_part = Zf.T @ Zf                             # [6Kc, 6Kc]
+            z0 = jnp.einsum("pab,pb->pa", Hpp_inv, g_p)
+            bz_part = jnp.einsum("pkab,pb->ka", Z, z0)     # [Kc, 6]
+
+            # the iteration's ONLY collective: one fused psum
+            flat = jnp.concatenate([
+                C_part.reshape(-1), red_part.reshape(-1),
+                bz_part.reshape(-1), cost_part[None]])
+            flat = jax.lax.psum(flat, axis)
+            o1 = Kc * 6 * Kc * 6
+            C = flat[:o1].reshape(Kc * 6, Kc * 6)
+            red = flat[o1:o1 + Kc * 27].reshape(Kc, 27)
+            bz = flat[o1 + Kc * 27:o1 + Kc * 27 + Kc * 6].reshape(Kc, 6)
+            cost_here = flat[-1]
+
+            g_c = red[:, :6]
+            Hcc_l = damp(red[:, 6:][:, iu], lp.cam_valid, 6, lam)
+            ii = jnp.arange(Kc)
+            H_red = (-C).reshape(Kc, 6, Kc, 6).at[ii, :, ii, :].add(
+                Hcc_l, unique_indices=True).reshape(Kc * 6, Kc * 6)
+            b = -g_c + bz
+            chol = jax.scipy.linalg.cho_factor(H_red)
+            dx = jax.scipy.linalg.cho_solve(
+                chol, b.reshape(-1)).reshape(Kc, 6)
+            dx_c = jnp.where(lp.cam_valid[:, None], dx, 0.0)
+            dx_c = jnp.where(jnp.all(jnp.isfinite(dx_c)), dx_c, 0.0)
+
+            # local point back-substitution
+            vc = [dx_c[:, a][c.cslot] for a in range(6)]
+            u = jnp.stack(
+                [msum(sum(wb[a * 3 + b0] * vc[a] for a in range(6)))
+                 for b0 in range(3)], axis=-1)
+            dx_p = jnp.einsum("pab,pb->pa", Hpp_inv, -g_p - u)
+            dx_p = jnp.where(lp.pt_valid[:, None], dx_p, 0.0)
+            dx_p = jnp.where(jnp.isfinite(dx_p), dx_p, 0.0)
+
+            dT = lie.se3_exp(dx_c)
+            nq = lie.quat_normalize(lie.quat_mul(dT.q, cam_q))
+            nt = lie.quat_rotate(dT.q, cam_t) + dT.t
+            return nq, nt, pts_local + dx_p, cost_here
+
+        def body(_, carry):
+            bq, bt, bp, bcost, q, t, p, lam = carry
+            nq, nt, np_, cost = lm_iter(q, t, p, lam)
+            accept = cost < bcost
+            lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-7),
+                            jnp.minimum(lam * 4.0, 1e4))
+            bq = jnp.where(accept, q, bq)
+            bt = jnp.where(accept, t, bt)
+            bp = jnp.where(accept, p, bp)
+            bcost = jnp.where(accept, cost, bcost)
+            dq = lie.quat_mul(nq, lie.quat_conj(q))
+            dt = nt - lie.quat_rotate(dq, t)
+            sq = lie.quat_normalize(lie.quat_mul(dq, bq))
+            st = lie.quat_rotate(dq, bt) + dt
+            sp = bp + (np_ - p)
+            return bq, bt, bp, bcost, sq, st, sp, lam
+
+        big = jnp.asarray(jnp.inf, jnp.float32)
+        q0, t0, p0 = lp.cam_q, lp.cam_t, lp.pts
+        bq, bt, bp, bcost, _, _, _, _ = jax.lax.fori_loop(
+            0, iters + 1, body,
+            (q0, t0, p0, big, q0, t0, p0, jnp.asarray(1e-4, jnp.float32)))
+
+        # final chi2 inlier classification (local, no collective)
+        rx, ry, _, _, dok = bw._soa_linearize(consts, kind, bq, bt, bp,
+                                              Pl, M)
+        chi2 = consts.w0 * (rx * rx + ry * ry)
+        inlier = (consts.valid & dok
+                  & (chi2 < chi2_th)).reshape(Pl, M)
+        return bw.WindowResult(cam_q=bq, cam_t=bt, pts=bp,
+                               pm_inlier=inlier, cost=bcost)
+
+    return jax.jit(_run)

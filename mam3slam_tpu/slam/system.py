@@ -53,6 +53,17 @@ def _se3_compose_np(q1, t1, q2, t2):
     return q, t.astype(np.float32)
 
 
+def _quat_rotate_np(q, v):
+    u = np.asarray(q[1:])
+    uv = np.cross(u, v)
+    return np.asarray(v + 2.0 * (q[0] * uv + np.cross(u, uv)), np.float32)
+
+
+def _se3_inverse_np(q, t):
+    qc = np.array([q[0], -q[1], -q[2], -q[3]], np.float32)
+    return qc, -_quat_rotate_np(qc, t)
+
+
 class MapCapacityError(RuntimeError):
     """Raised on keyframe-arena or atlas map-slot exhaustion (the silent
     jit-scatter drop would otherwise corrupt bookkeeping)."""
@@ -150,6 +161,64 @@ def _compiled(cfg: SlamConfig, kind: int):
             jnp.clip(fmp, 0).reshape(-1)].max(
             ((fmp >= 0) & kf_sel[:, None]).reshape(-1))
         return mask & ms.mp_valid
+
+    @jax.jit
+    def track_frame_step(ms, frame, ref_kf, q_pred, t_pred, q_last,
+                         t_last, cam_params):
+        """The whole per-frame tracking pipeline as ONE device program:
+        local-map mask -> coarse motion-model projection match + pose opt
+        -> in-device widened retry (``lax.cond``, reference widens 2x on
+        <20 matches) -> fine re-match + pose opt from the refined pose ->
+        keep-best -> found/visible stat deltas -> velocity and ref-KF-
+        relative pose for the trajectory writer.
+
+        Host cost per frame: one dispatch + one 24-float fetch, instead
+        of ~5 separate programs plus dozens of eager small-op dispatches
+        (each a host->device roundtrip on the tunneled backend — the
+        difference between ~50 and >100 sustained fps)."""
+        cam = cam_mod.Camera(cam_params, kind)
+        local_mask = local_mp_mask(ms, ref_kf, 32)
+
+        def _stage(q0, t0, th, ratio):
+            feat_mp, n, visible = steps.match_map_to_frame(
+                ms, frame, q0, t0, cam, W, H, local_mask, sf,
+                th_radius=th, max_dist=M.TH_HIGH, ratio=ratio)
+            q, t, inlier, n_in = steps.track_pose(ms, frame, feat_mp,
+                                                  q0, t0, cam, is2)
+            return feat_mp, n, q, t, inlier, n_in, visible
+
+        r1 = _stage(q_pred, t_pred, jnp.asarray(6.0), 0.9)
+        widened = r1[5] < cfg.min_track_inliers_lost
+        r1 = jax.lax.cond(
+            widened,
+            lambda _: _stage(q_pred, t_pred, jnp.asarray(12.0), 0.9),
+            lambda _: r1, None)
+        feat_mp, n_m, q, t, inlier, n_in, visible = r1
+        # fine local-map stage from the refined pose; keep the better
+        r2 = _stage(q, t, jnp.asarray(1.0), 0.8)
+        take2 = r2[5] >= n_in
+        sel = lambda x2, x1: jnp.where(take2, x2, x1)
+        feat_mp = sel(r2[0], feat_mp)
+        n_m = sel(r2[1], n_m)
+        q = sel(r2[2], q)
+        t = sel(r2[3], t)
+        inlier = sel(r2[4], inlier)
+        n_in = sel(r2[5], n_in)
+        visible = sel(r2[6], visible)
+        ms2 = update_found_visible(ms, feat_mp, inlier, visible)
+        # velocity T_cur * T_last^-1 and pose relative to the ref KF
+        vel = lie.se3_compose(lie.SE3(q, t),
+                              lie.se3_inverse(lie.SE3(q_last, t_last)))
+        ref = jnp.clip(ref_kf, 0)
+        rel = lie.se3_compose(
+            lie.SE3(q, t),
+            lie.se3_inverse(lie.SE3(ms.kf_q[ref], ms.kf_t[ref])))
+        vec = jnp.concatenate([
+            q, t, vel.q, vel.t, rel.q, rel.t,
+            jnp.stack([n_in.astype(jnp.float32),
+                       widened.astype(jnp.float32),
+                       n_m.astype(jnp.float32)])])
+        return ms2, feat_mp, inlier, visible, vec
 
     @jax.jit
     def track_ref_kf(ms, frame, ref_kf, q0, t0, cam_params):
@@ -455,6 +524,7 @@ def _compiled(cfg: SlamConfig, kind: int):
                 jnp.where(cand_ok, ntr, 0))
 
     return dict(match_and_pose=match_and_pose, track_ref_kf=track_ref_kf,
+                track_frame_step=track_frame_step,
                 local_mp_mask=local_mp_mask,
                 kf_redundancy=kf_redundancy, remove_kf=remove_kf,
                 global_ba=global_ba, mapping_epoch=mapping_epoch,
@@ -507,6 +577,10 @@ class AgentState:
     # BoW-fallback stages had to rescue tracking (prediction quality
     # telemetry; IMU prediction should keep this near zero)
     n_fallback: int = 0
+    # ref-KF-relative pose of the CURRENT frame, produced by the fused
+    # tracking step (trajectory writer uses it without device math);
+    # None on frames that didn't run the fused success path
+    last_rel: Optional[tuple] = None
     last_frame: Optional[steps.FrameObs] = None
     last_feat_mp: Optional[jnp.ndarray] = None
     init_frame: Optional[steps.FrameObs] = None
@@ -658,6 +732,7 @@ class SlamSystem:
             err, self._worker_error = self._worker_error, None
             raise err
         a = self.agents[agent_id]
+        a.last_rel = None  # set by the fused step's success path only
         if a.state in (NO_IMAGES_YET, NOT_INITIALIZED):
             self._monocular_initialization(a, frame, ts)
         else:
@@ -865,40 +940,39 @@ class SlamSystem:
         # a post-mapping map).
         snap_epoch = self.ms_epoch
         ms = self.ms
+        q_last = np.asarray(a.q, np.float32)
+        t_last = np.asarray(a.t, np.float32)
         # pose prediction: IMU navigation state when measurements are
         # provided AND the mono-inertial initialization for this map has
         # run (gravity/scale/bias estimated — reference gates
-        # PredictStateIMU on Map::isImuInitialized); else constant velocity
+        # PredictStateIMU on Map::isImuInitialized); else constant
+        # velocity — host-side numpy so no per-frame device chatter
         if (imu is not None and a.q is not None and a.last_ts is not None
                 and a.imu_initialized and a.imu_init_map == a.map_id):
             q_pred, t_pred = self._imu_predict(a, imu, ts - a.last_ts)
+            q_pred = np.asarray(q_pred, np.float32)
+            t_pred = np.asarray(t_pred, np.float32)
         elif a.vel_q is not None:
-            q_pred = lie.quat_normalize(lie.quat_mul(a.vel_q, a.q))
-            t_pred = lie.quat_rotate(a.vel_q, a.t) + a.vel_t
+            q_pred, t_pred = _se3_compose_np(
+                np.asarray(a.vel_q, np.float32),
+                np.asarray(a.vel_t, np.float32), q_last, t_last)
         else:
-            q_pred, t_pred = a.q, a.t
+            q_pred, t_pred = q_last, t_last
 
-        local_mask = self.fns["local_mp_mask"](
-            ms, jnp.asarray(a.ref_kf), 32)
-
-        # --- motion-model / coarse stage: wider radius, matched points only
-        # coarse radius ~15 px for mono motion-model search (reference
-        # SearchByProjection th=15, src/Tracking.cc TrackWithMotionModel)
-        feat_mp, n_m, q, t, inlier, n_in, visible = self.fns[
-            "match_and_pose"](ms, frame, q_pred, t_pred,
-                              a.cam.params, local_mask,
-                              jnp.asarray(6.0), M.TH_HIGH, jnp.asarray(0.9))
-        n_in_i = int(n_in)
-        if n_in_i < cfg.min_track_inliers_lost:
+        # the whole per-frame pipeline (local mask, coarse match+pose,
+        # in-device widened retry, fine match+pose, stat deltas, velocity
+        # + ref-relative pose) in ONE dispatch + one 24-float fetch
+        ms2, feat_mp, inlier, visible, vec = self.fns["track_frame_step"](
+            ms, frame, jnp.asarray(max(a.ref_kf, 0)), q_pred, t_pred,
+            q_last, t_last, a.cam.params)
+        vec = np.asarray(vec)
+        q, t = vec[0:4], vec[4:7]
+        vel_q, vel_t = vec[7:11], vec[11:14]
+        q_rel, t_rel = vec[14:18], vec[18:21]
+        n_in_i = int(vec[21])
+        if vec[22]:  # widened-retry telemetry
             a.n_fallback += 1
-            # widen 2x (reference widens 2x then falls back to BoW
-            # reference-KF tracking)
-            feat_mp, n_m, q, t, inlier, n_in, visible = self.fns[
-                "match_and_pose"](ms, frame, q_pred, t_pred,
-                                  a.cam.params, local_mask,
-                                  jnp.asarray(12.0), M.TH_HIGH,
-                                  jnp.asarray(0.9))
-            n_in_i = int(n_in)
+
         if (n_in_i < cfg.min_track_inliers_lost and a.ref_kf >= 0
                 and a.state == OK):
             # TrackReferenceKeyFrame fallback (reference :2640): BoW match
@@ -906,25 +980,22 @@ class SlamSystem:
             # possibly-bad motion prediction).  Only from the OK state —
             # when RECENTLY_LOST the reference goes straight to
             # Relocalization (Tracking.cc:1903-1951), which is what
-            # enables cross-map re-entry
+            # enables cross-map re-entry.  Rare — extra dispatches ok.
             feat_mp_r, q_r, t_r, inlier_r, n_r, n_bow = self.fns[
                 "track_ref_kf"](ms, frame, jnp.asarray(a.ref_kf),
-                                a.q, a.t, a.cam.params)
+                                q_last, t_last, a.cam.params)
             if int(n_bow) >= 15 and int(n_r) > n_in_i and int(n_r) >= 10:
-                feat_mp, q, t, inlier = feat_mp_r, q_r, t_r, inlier_r
+                feat_mp, inlier = feat_mp_r, inlier_r
+                q = np.asarray(q_r, np.float32)
+                t = np.asarray(t_r, np.float32)
                 n_in_i = int(n_r)
-                visible = jnp.zeros_like(visible).at[
-                    jnp.clip(feat_mp, 0)].max(feat_mp >= 0)
-
-        # --- track local map: refine with tighter radius from refined pose
-        feat_mp2, n_m2, q2, t2, inlier2, n_in2, visible2 = self.fns[
-            "match_and_pose"](ms, frame, q, t, a.cam.params,
-                              local_mask, jnp.asarray(1.0), M.TH_HIGH,
-                              jnp.asarray(0.8))
-        n_in2_i = int(n_in2)
-        if n_in2_i >= n_in_i:
-            feat_mp, q, t, inlier, n_in_i = feat_mp2, q2, t2, inlier2, n_in2_i
-            visible = visible2
+                # recompute velocity + ref-relative pose host-side
+                iq, it = _se3_inverse_np(q_last, t_last)
+                vel_q, vel_t = _se3_compose_np(q, t, iq, it)
+                rq = np.asarray(self.ms.kf_q[a.ref_kf], np.float32)
+                rt = np.asarray(self.ms.kf_t[a.ref_kf], np.float32)
+                irq, irt = _se3_inverse_np(rq, rt)
+                q_rel, t_rel = _se3_compose_np(q, t, irq, irt)
 
         if self.async_mapping:
             # found/visible counters are additive heuristics; apply them
@@ -935,8 +1006,7 @@ class SlamSystem:
             except Exception:
                 pass  # queue full: drop the delta (pure heuristic)
         else:
-            self.ms = self.fns["update_found_visible"](self.ms, feat_mp,
-                                                       inlier, visible)
+            self.ms = ms2
 
         threshold = (cfg.min_track_inliers if a.state == OK
                      else cfg.min_track_inliers_lost)
@@ -967,18 +1037,17 @@ class SlamSystem:
         # success
         if a.state == RECENTLY_LOST:
             a.state = OK
-        # velocity = T_cur * inv(T_last)
-        if a.q is not None:
-            inv_last = lie.se3_inverse(lie.SE3(a.q, a.t))
-            v = lie.se3_compose(lie.SE3(q, t), inv_last)
-            a.vel_q, a.vel_t = v.q, v.t
-            # world-velocity estimate for the IMU prediction path
-            if a.last_ts is not None and ts > a.last_ts:
-                C_old = np.asarray(-lie.quat_rotate(lie.quat_conj(a.q),
-                                                    a.t))
-                C_new = np.asarray(-lie.quat_rotate(lie.quat_conj(q), t))
-                a.vel_w = (C_new - C_old) / (ts - a.last_ts)
+        a.vel_q, a.vel_t = vel_q, vel_t
+        # world-velocity estimate for the IMU prediction path
+        if a.last_ts is not None and ts > a.last_ts:
+            C_old = -_quat_rotate_np(
+                np.array([q_last[0], -q_last[1], -q_last[2], -q_last[3]],
+                         np.float32), t_last)
+            C_new = -_quat_rotate_np(
+                np.array([q[0], -q[1], -q[2], -q[3]], np.float32), t)
+            a.vel_w = (C_new - C_old) / (ts - a.last_ts)
         a.q, a.t = q, t
+        a.last_rel = (q_rel, t_rel)
         a.last_feat_mp = feat_mp
         a.frames_since_kf += 1
         if imu is not None:
@@ -1142,6 +1211,9 @@ class SlamSystem:
             a.frames_since_kf = 0
             a.kf_insertions_refused = 0
             a.ref_kf = kf
+            # the new KF's pose IS this frame's pose -> rel = identity
+            a.last_rel = (np.array([1, 0, 0, 0], np.float32),
+                          np.zeros(3, np.float32))
             a.ref_kf_tracked = int((np.asarray(feat_mp_in) >= 0).sum())
             self._jobs.put(("mapping", a.agent_id, kf))
             return
@@ -1154,6 +1226,8 @@ class SlamSystem:
         a.next_agent_kf_id += 1
         a.frames_since_kf = 0
         a.ref_kf = kf
+        a.last_rel = (np.array([1, 0, 0, 0], np.float32),
+                      np.zeros(3, np.float32))
         a.ref_kf_tracked = int((np.asarray(feat_mp_in) >= 0).sum())
         self._local_mapping(a, kf)
         if self.server is not None:
@@ -1251,13 +1325,22 @@ class SlamSystem:
     # ------------------------------------------------------------------
     def _record_trajectory(self, a: AgentState, ts):
         """Store pose relative to the reference KF (reference
-        Tracking :2189-2221) so later map corrections propagate for free."""
+        Tracking :2189-2221) so later map corrections propagate for free.
+        The fused tracking step already computed the relative pose
+        (``a.last_rel``); other paths fetch the ref pose and compose in
+        numpy (rare frames only)."""
         ref = a.ref_kf
-        T_ref = lie.SE3(self.ms.kf_q[ref], self.ms.kf_t[ref])
-        T_cur = lie.SE3(a.q, a.t)
-        T_rel = lie.se3_compose(T_cur, lie.se3_inverse(T_ref))
-        a.trajectory.append((ts, ref, np.asarray(T_rel.q),
-                             np.asarray(T_rel.t), a.state))
+        if a.last_rel is not None:
+            q_rel, t_rel = a.last_rel
+        else:
+            rq = np.asarray(self.ms.kf_q[ref], np.float32)
+            rt = np.asarray(self.ms.kf_t[ref], np.float32)
+            irq, irt = _se3_inverse_np(rq, rt)
+            q_rel, t_rel = _se3_compose_np(
+                np.asarray(a.q, np.float32), np.asarray(a.t, np.float32),
+                irq, irt)
+        a.trajectory.append((ts, ref, np.asarray(q_rel),
+                             np.asarray(t_rel), a.state))
 
     def resolve_ref(self, ref, q_rel, t_rel):
         """Walk culled ancestors until a live reference KF is found

@@ -124,3 +124,41 @@ def test_dist_window_ba_matches_local():
     np.testing.assert_allclose(np.asarray(dist.cam_t)[: len(q)],
                                np.asarray(local.cam_t)[: len(q)],
                                atol=5e-3)
+
+
+def test_dist_window_ba_dense_matches_local():
+    """Distributed dense reduced-camera solver (one psum per LM
+    iteration) vs the single-device dense solver: same problem,
+    near-identical solution (f32 reduction-order differences only)."""
+    from mam3slam_tpu.parallel import dist_window_ba as dwb
+    from mam3slam_tpu.solvers import ba_window as bw
+
+    q, t, pts, oc, op, ouv = make_scene(n_cams=6, n_pts=252, noise_px=0.5,
+                                        seed=7)
+    rng = np.random.default_rng(0)
+    qp, tp = q.copy(), t.copy()
+    tp[2:] += rng.normal(0, 0.05, tp[2:].shape)
+    ptsp = (pts + rng.normal(0, 0.08, pts.shape)).astype(np.float32)
+    cam_free = np.array([False, False] + [True] * (len(q) - 2))
+    cam_params = np.broadcast_to(CAM_PARAMS, (len(q), 8))
+    w = np.ones(len(oc), np.float32)
+
+    prob = dwb.window_problem_from_edges(
+        qp, tp, cam_params, ptsp, oc, op, ouv, w, cam_free,
+        np.ones(len(pts), bool))
+
+    local = bw.run_window_ba_dense(prob, cameras.PINHOLE, iters=10)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("shard",))
+    dist = dwb.dist_run_window_ba_dense(prob, mesh, cameras.PINHOLE,
+                                        iters=10)
+
+    np.testing.assert_allclose(np.asarray(dist.cam_t)[: len(q)],
+                               np.asarray(local.cam_t)[: len(q)],
+                               atol=5e-3)
+    P = len(pts)
+    np.testing.assert_allclose(np.asarray(dist.pts)[:P],
+                               np.asarray(local.pts)[:P], atol=2e-2)
+    # inlier classification agrees except at the chi2 boundary
+    il = np.asarray(local.pm_inlier)
+    idist = np.asarray(dist.pm_inlier)[: il.shape[0]]
+    assert (il != idist).mean() < 0.02

@@ -61,3 +61,36 @@ def test_fused_match_parity():
     # matched plants found
     planted_ok = ref_ok[:200]
     assert planted_ok.mean() > 0.85
+
+
+def test_min_hamming2_parity():
+    """Fused matmul+2-min kernel (interpret mode) vs numpy oracle."""
+    rng = np.random.default_rng(11)
+    Q, T = 128, 300
+    dq = rng.integers(0, 256, (Q, 32), dtype=np.uint8)
+    dt = rng.integers(0, 256, (T, 32), dtype=np.uint8)
+    # plant exact duplicates so best=0 somewhere
+    dt[:40] = dq[:40]
+    t_valid = np.ones(T, bool)
+    t_valid[5] = False
+
+    bq = M.unpack_desc(jnp.asarray(dq))
+    bt = M.unpack_desc(jnp.asarray(dt))
+    idx, d1, d2 = PM.min_hamming2(bq, bt, jnp.asarray(t_valid),
+                                  interpret=True, tile_m=128)
+
+    ham = np.asarray(M.hamming_matrix(bq, bt)).copy()
+    ham[:, ~t_valid] = 1 << 20
+    ref_idx = ham.argmin(1)
+    ref_d1 = ham.min(1)
+    ham2 = ham.copy()
+    ham2[np.arange(Q), ref_idx] = 1 << 20
+    ref_d2 = ham2.min(1)
+
+    np.testing.assert_array_equal(np.asarray(d1).astype(int), ref_d1)
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+    np.testing.assert_array_equal(np.asarray(d2).astype(int),
+                                  np.minimum(ref_d2, 1 << 20))
+    planted = np.ones(40, bool)
+    planted[5] = False  # its duplicate target was invalidated
+    assert (np.asarray(d1)[:40][planted] == 0).all()
