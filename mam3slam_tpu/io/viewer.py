@@ -64,13 +64,14 @@ _STATE_TEXT = {0: "WAITING FOR IMAGES", 1: "TRYING TO INITIALIZE",
                2: "SLAM", 3: "RECENTLY LOST", 4: "LOST"}
 
 
-def render_tracking_frame(system, agent_id: int, image: np.ndarray,
-                          path: str):
+def draw_tracking_frame(system, agent_id: int,
+                        image: np.ndarray) -> np.ndarray:
     """Annotated per-frame tracking image (the reference FrameDrawer,
     src/FrameDrawer.cc:1-489): keypoints drawn colored by match state —
     green square+dot for features tracking a map point (inlier of the
     last pose optimization), blue dot for extracted-but-unmatched — plus
-    the state banner with map statistics.  Written as PNG (headless)."""
+    the state banner with map statistics.  Returns the BGR image (the
+    live viewers stream it; ``render_tracking_frame`` writes it)."""
     import cv2
 
     a = system.agents[agent_id]
@@ -105,4 +106,12 @@ def render_tracking_frame(system, agent_id: int, image: np.ndarray,
     bar = np.zeros((22, bgr.shape[1], 3), np.uint8)
     cv2.putText(bar, banner, (6, 15), cv2.FONT_HERSHEY_SIMPLEX, 0.45,
                 (255, 255, 255), 1, cv2.LINE_AA)
-    cv2.imwrite(path, np.concatenate([bgr, bar], axis=0))
+    return np.concatenate([bgr, bar], axis=0)
+
+
+def render_tracking_frame(system, agent_id: int, image: np.ndarray,
+                          path: str):
+    """``draw_tracking_frame`` written to disk as PNG (headless use)."""
+    import cv2
+
+    cv2.imwrite(path, draw_tracking_frame(system, agent_id, image))
