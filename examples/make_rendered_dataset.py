@@ -31,13 +31,22 @@ def main():
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--seed", type=int, default=3)
+    ap.add_argument("--kb8-scale", type=float, default=None, metavar="S",
+                    help="render through the reference fixture's "
+                         "KannalaBrandt8 fisheye at resolution scale S "
+                         "(S=1.0 -> the full 960x960 operating point, "
+                         "test/settingsForTest_00.yaml) instead of the "
+                         "pinhole camera")
     args = ap.parse_args()
 
     from mam3slam_tpu.io import render
 
-    cam = render.RenderCam(width=args.width, height=args.height,
-                           fx=args.width / 2.0, fy=args.width / 2.0,
-                           cx=args.width / 2.0, cy=args.height / 2.0)
+    if args.kb8_scale is not None:
+        cam = render.reference_kb8_cam(scale=args.kb8_scale)
+    else:
+        cam = render.RenderCam(width=args.width, height=args.height,
+                               fx=args.width / 2.0, fy=args.width / 2.0,
+                               cx=args.width / 2.0, cy=args.height / 2.0)
     scene = render.RoomScene(seed=args.seed)
 
     n = args.frames

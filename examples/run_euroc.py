@@ -29,9 +29,18 @@ import numpy as np
 
 
 def make_yaml(c, n_features, n_levels=8):
-    return f"""%YAML:1.0
-File.version: "1.0"
-Camera.type: "PinHole"
+    if c.get("model") == "kb8":
+        cam_block = f"""Camera.type: "KannalaBrandt8"
+Camera1.fx: {c['fx']}
+Camera1.fy: {c['fy']}
+Camera1.cx: {c['cx']}
+Camera1.cy: {c['cy']}
+Camera1.k1: {c['dist'][0]}
+Camera1.k2: {c['dist'][1]}
+Camera1.k3: {c['dist'][2]}
+Camera1.k4: {c['dist'][3]}"""
+    else:
+        cam_block = f"""Camera.type: "PinHole"
 Camera1.fx: {c['fx']}
 Camera1.fy: {c['fy']}
 Camera1.cx: {c['cx']}
@@ -39,7 +48,10 @@ Camera1.cy: {c['cy']}
 Camera1.k1: {c['dist'][0]}
 Camera1.k2: {c['dist'][1]}
 Camera1.p1: {c['dist'][2]}
-Camera1.p2: {c['dist'][3]}
+Camera1.p2: {c['dist'][3]}"""
+    return f"""%YAML:1.0
+File.version: "1.0"
+{cam_block}
 Camera.width: {c['width']}
 Camera.height: {c['height']}
 Camera.fps: {c['fps']}

@@ -161,12 +161,17 @@ def load_sensor_yaml(seq_dir: str, cam: str = "cam0") -> Optional[dict]:
                 vals[key] = _floats(line)
             elif key == "rate_hz":
                 vals[key] = float(line.split(":", 1)[1])
+            elif key in ("camera_model", "distortion_model"):
+                vals[key] = line.split(":", 1)[1].strip()
     if "intrinsics" not in vals or "resolution" not in vals:
         return None
     fu, fv, cu, cv = vals["intrinsics"][:4]
     w, h = vals["resolution"][:2]
     dist = tuple(vals.get("distortion_coefficients",
                           [0.0, 0.0, 0.0, 0.0])[:4])
+    model = ("kb8" if vals.get("camera_model") == "kb8"
+             or vals.get("distortion_model") == "equidistant"
+             else "pinhole")
     return dict(fx=fu, fy=fv, cx=cu, cy=cv, dist=dist,
                 width=int(w), height=int(h),
-                fps=float(vals.get("rate_hz", 20.0)))
+                fps=float(vals.get("rate_hz", 20.0)), model=model)

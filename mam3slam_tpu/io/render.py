@@ -279,16 +279,22 @@ def write_asl_sequence(seq_dir: str, scene: RoomScene,
     os.makedirs(img_dir, exist_ok=True)
     os.makedirs(gt_dir, exist_ok=True)
 
+    if cam.model == "kb8":
+        model, dist_model = "kb8", "equidistant"
+        k = cam.k
+    else:
+        model, dist_model = "pinhole", "radial-tangential"
+        k = (0.0, 0.0, 0.0, 0.0)
     with open(os.path.join(cam_dir, "sensor.yaml"), "w") as f:
         f.write(
             "%YAML:1.0\n"
             "sensor_type: camera\n"
             f"rate_hz: {cam.fps}\n"
             f"resolution: [{cam.width}, {cam.height}]\n"
-            "camera_model: pinhole\n"
+            f"camera_model: {model}\n"
             f"intrinsics: [{cam.fx}, {cam.fy}, {cam.cx}, {cam.cy}]\n"
-            "distortion_model: radial-tangential\n"
-            "distortion_coefficients: [0.0, 0.0, 0.0, 0.0]\n")
+            f"distortion_model: {dist_model}\n"
+            f"distortion_coefficients: [{k[0]}, {k[1]}, {k[2]}, {k[3]}]\n")
 
     rows_cam = ["#timestamp [ns],filename"]
     rows_gt = ["#timestamp, p_RS_R_x [m], p_RS_R_y [m], p_RS_R_z [m], "

@@ -482,7 +482,7 @@ def _compiled(cfg: SlamConfig, kind: int):
         return ms, kf
 
     @jax.jit
-    def mapping_epoch(ms, kf, map_id):
+    def mapping_epoch(ms, kf, map_id, protected_extra):
         """The full per-KF LocalMapping body (reference
         LocalMapping::Run, src/LocalMapping.cc:77-390) as ONE device
         program: MP culling -> 8-neighbor triangulation -> compact stat
@@ -511,8 +511,87 @@ def _compiled(cfg: SlamConfig, kind: int):
         ms = S.refresh_mp_stats_compact(
             ms, S.compact_indices(touched | new_pts, 3 * cfg.n_feat), sf)
         ms = local_ba(ms, kf)
-        cull_idx, cull_w, cull_ok = S.best_covisible(ms, kf, 10)
-        return (ms, n_culled, n_new, n_drop, n_fused, cull_idx, cull_ok)
+        counts = jnp.stack([n_culled, n_new, n_drop, n_fused]
+                           ).astype(jnp.float32)
+        row0 = jnp.concatenate([counts, jnp.zeros(8)])[None]
+        # row 0 = epoch counters, rows 1..10 = culling pack — the host
+        # fetches ONE [11, 12] array per mapping epoch
+        return ms, jnp.concatenate(
+            [row0, cull_pack(ms, kf, protected_extra)], axis=0)
+
+    @jax.jit
+    def mapping_epoch_front(ms, kf, map_id):
+        """First half of the mapping epoch (cull -> triangulate -> fuse
+        -> stat refreshes) as its own program — see
+        SlamSystem._run_mapping_epoch for when the split path is used."""
+        ms, n_culled = cull_map_points(ms, kf)
+        nb_idx, nb_w, nb_ok = S.best_covisible(
+            ms, kf, cfg.n_triangulate_neighbors)
+        before = ms.mp_valid
+        ms, n_new, n_drop = triangulate_multi_step(ms, kf, nb_idx, nb_ok,
+                                                   map_id)
+        new_pts = ms.mp_valid & ~before
+        ms = S.refresh_mp_stats_compact(
+            ms, S.compact_indices(new_pts, cfg.n_feat), sf)
+        local_mask = local_mp_mask(ms, kf, 16)
+        ms, n_fused, touched = steps.fuse_into_kf(ms, kf, local_mask,
+                                                  kind, W, H, sf)
+        ms = S.rebuild_reverse_obs(ms)
+        ms = S.update_covis_for_kf(ms, kf)
+        ms = S.refresh_mp_stats_compact(
+            ms, S.compact_indices(touched | new_pts, 3 * cfg.n_feat), sf)
+        counts = jnp.stack([n_culled, n_new, n_drop, n_fused]
+                           ).astype(jnp.float32)
+        return ms, counts
+
+    @jax.jit
+    def cull_pack(ms, kf, protected_extra):
+        """Everything the host's KeyFrameCulling decision needs, as ONE
+        [10, 12] array — one fetch instead of ~8 (each fetch is a full
+        host<->device roundtrip; on a high-latency link the old
+        fetch-per-field logic cost more than the epoch's compute).
+        Columns: cand_idx, eligible, redundant_frac, n_tracked, parent,
+        q_cp (4), t_cp (3) — q_cp/t_cp = pose relative to the spanning
+        parent, pre-computed for the culled-ancestor bookkeeping.
+        ``protected_extra``: KF slots pinned by the host (agents' current
+        reference KFs)."""
+        idx, w, ok = S.best_covisible(ms, kf, 10)
+        idxc = jnp.clip(idx, 0)
+        frac, ntr = jax.vmap(
+            lambda c: steps.keyframe_redundancy(ms, jnp.clip(c, 0)))(idx)
+        # protected: self, per-map gauge anchors (2 oldest), loop/merge
+        # edge endpoints (SetNotErase analog), host-pinned refs
+        in_map = ms.kf_valid & (ms.kf_map == ms.kf_map[kf])
+        seq = jnp.where(in_map, ms.kf_seq, S.BIG_SEQ)
+        a1 = jnp.argmin(seq)
+        a2 = jnp.argmin(seq.at[a1].set(S.BIG_SEQ))
+        K = ms.kf_valid.shape[0]
+        lv = ms.loop_valid
+        loop_ep = (jnp.zeros((K,), bool)
+                   .at[jnp.clip(ms.loop_i, 0)].max(lv)
+                   .at[jnp.clip(ms.loop_j, 0)].max(lv))
+        prot = ((idx == kf) | (idx == a1) | (idx == a2) | loop_ep[idxc]
+                | jnp.any(idx[:, None] == protected_extra[None, :],
+                          axis=1))
+        par = ms.kf_parent[idxc]
+        parc = jnp.clip(par, 0)
+        T_cp = jax.vmap(lambda c, p: lie.se3_compose(
+            lie.SE3(ms.kf_q[c], ms.kf_t[c]),
+            lie.se3_inverse(lie.SE3(ms.kf_q[p], ms.kf_t[p]))))(idxc, parc)
+        f32 = jnp.float32
+        return jnp.concatenate([
+            idx.astype(f32)[:, None], (ok & ~prot).astype(f32)[:, None],
+            frac[:, None], ntr.astype(f32)[:, None],
+            par.astype(f32)[:, None], T_cp.q, T_cp.t], axis=1)
+
+    @jax.jit
+    def mapping_epoch_tail(ms, kf, protected_extra, counts):
+        """Second half: windowed LBA + the packed culling decision
+        (front's counters prepended so the host fetches one array)."""
+        ms = local_ba(ms, kf)
+        row0 = jnp.concatenate([counts, jnp.zeros(8)])[None]
+        return ms, jnp.concatenate(
+            [row0, cull_pack(ms, kf, protected_extra)], axis=0)
 
     @jax.jit
     def kf_redundancy_batch(ms, cands, cand_ok):
@@ -528,6 +607,9 @@ def _compiled(cfg: SlamConfig, kind: int):
                 local_mp_mask=local_mp_mask,
                 kf_redundancy=kf_redundancy, remove_kf=remove_kf,
                 global_ba=global_ba, mapping_epoch=mapping_epoch,
+                mapping_epoch_front=mapping_epoch_front,
+                mapping_epoch_tail=mapping_epoch_tail,
+                cull_pack=cull_pack,
                 kf_redundancy_batch=kf_redundancy_batch,
                 update_found_visible=update_found_visible,
                 init_match=init_match, reconstruct=reconstruct,
@@ -581,6 +663,9 @@ class AgentState:
     # tracking step (trajectory writer uses it without device math);
     # None on frames that didn't run the fused success path
     last_rel: Optional[tuple] = None
+    # deferred per-frame result awaiting its state-machine pass
+    # (SlamSystem.pipeline mode)
+    pending: Optional[dict] = None
     last_frame: Optional[steps.FrameObs] = None
     last_feat_mp: Optional[jnp.ndarray] = None
     init_frame: Optional[steps.FrameObs] = None
@@ -631,8 +716,18 @@ class SlamSystem:
         # add/remove/correction); tracking validates its snapshot against
         # it before wiring new-KF observations
         self.ms_epoch = 0
+        # pipelined tracking: defer each frame's result fetch + state
+        # machine to the NEXT track() call so the (possibly high-latency)
+        # D2H readback overlaps useful work.  track() then returns the
+        # PREVIOUS frame's state — a one-frame-lagged view; call drain()
+        # before reading final poses/trajectories.
+        self.pipeline = False
         self.async_mapping = async_mapping
         self._worker_error = None
+        # mapping jobs queued or being processed by the worker — the
+        # back-pressure signal for KF insertion (stats-delta jobs hold
+        # the lock only microseconds and must NOT refuse insertions)
+        self._pending_mapping = 0
         if async_mapping:
             import queue as _queue
             import threading as _threading
@@ -665,11 +760,14 @@ class SlamSystem:
                     else:  # ("mapping", agent_id, kf)
                         _, aid, kf = job
                         a = self.agents[aid]
-                        self._local_mapping(a, kf)
-                        self.ms_epoch += 1
-                        if self.server is not None:
-                            self.server.process_keyframe(aid, kf)
+                        try:
+                            self._local_mapping(a, kf)
                             self.ms_epoch += 1
+                            if self.server is not None:
+                                self.server.process_keyframe(aid, kf)
+                                self.ms_epoch += 1
+                        finally:
+                            self._pending_mapping -= 1
             except Exception as e:  # surfaced by flush()
                 self._worker_error = e
             finally:
@@ -678,6 +776,7 @@ class SlamSystem:
     def flush(self):
         """Drain the mapping queue (and any pending background GBA);
         re-raises worker exceptions.  No-op for synchronous systems."""
+        self.drain()
         if self.async_mapping:
             self._jobs.join()
         if self.server is not None:
@@ -732,17 +831,41 @@ class SlamSystem:
             err, self._worker_error = self._worker_error, None
             raise err
         a = self.agents[agent_id]
-        a.last_rel = None  # set by the fused step's success path only
+        if a.pending is not None:
+            self._complete_pending(a)
         if a.state in (NO_IMAGES_YET, NOT_INITIALIZED):
+            a.last_rel = None
             self._monocular_initialization(a, frame, ts)
+            self._post_frame(a, frame, ts, t0)
         else:
-            self._track_frame(a, frame, ts, imu=imu)
+            self._track_frame(a, frame, ts, imu=imu, t0=t0)
+            if not self.pipeline:
+                self._post_frame(a, frame, ts, t0)
+        return a.state, (a.q, a.t) if a.q is not None else None
+
+    def _post_frame(self, a: AgentState, frame, ts, t0):
+        import time
         a.last_frame = frame
         a.times_ms.append((time.perf_counter() - t0) * 1e3)
         if a.q is not None:
             self._record_trajectory(a, ts)
         a.last_ts = ts
-        return a.state, (a.q, a.t) if a.q is not None else None
+
+    def _complete_pending(self, a: AgentState):
+        """Finish the deferred state machine of the previous frame
+        (pipelined mode): fetch its packed result — the D2H copy has been
+        in flight since dispatch — and run decisions/bookkeeping."""
+        pend, a.pending = a.pending, None
+        a.last_rel = None
+        self._finish_frame(a, pend)
+        self._post_frame(a, pend["frame"], pend["ts"], pend["t0"])
+
+    def drain(self):
+        """Complete every agent's pending pipelined frame (call before
+        reading trajectories/poses or shutting down)."""
+        for a in self.agents:
+            if a.pending is not None:
+                self._complete_pending(a)
 
     @staticmethod
     def _default_imu_calib():
@@ -929,7 +1052,8 @@ class SlamSystem:
                            f"mps={int(self.ms.mp_valid.sum())}")
 
     # ------------------------------------------------------------------
-    def _track_frame(self, a: AgentState, frame, ts, imu=None):
+    def _track_frame(self, a: AgentState, frame, ts, imu=None,
+                     t0=None):
         cfg = self.cfg
         # one immutable snapshot per frame: concurrent mapping/server
         # publications (async mode) never shear mid-frame.  Epoch is read
@@ -965,7 +1089,33 @@ class SlamSystem:
         ms2, feat_mp, inlier, visible, vec = self.fns["track_frame_step"](
             ms, frame, jnp.asarray(max(a.ref_kf, 0)), q_pred, t_pred,
             q_last, t_last, a.cam.params)
-        vec = np.asarray(vec)
+        pend = dict(ms=ms, ms2=ms2, feat_mp=feat_mp, inlier=inlier,
+                    visible=visible, vec=vec, frame=frame, ts=ts,
+                    imu=imu, snap_epoch=snap_epoch, q_pred=q_pred,
+                    t_pred=t_pred, q_last=q_last, t_last=t_last, t0=t0)
+        if self.pipeline:
+            # defer the fetch + state machine to the next track() call;
+            # start the D2H copy now so it overlaps host work
+            try:
+                vec.copy_to_host_async()
+            except Exception:
+                pass
+            a.pending = pend
+            return
+        self._finish_frame(a, pend)
+
+    def _finish_frame(self, a: AgentState, pend):
+        cfg = self.cfg
+        ms = pend["ms"]
+        frame = pend["frame"]
+        ts = pend["ts"]
+        imu = pend["imu"]
+        snap_epoch = pend["snap_epoch"]
+        q_pred, t_pred = pend["q_pred"], pend["t_pred"]
+        q_last, t_last = pend["q_last"], pend["t_last"]
+        ms2, feat_mp, inlier, visible = (pend["ms2"], pend["feat_mp"],
+                                         pend["inlier"], pend["visible"])
+        vec = np.asarray(pend["vec"])
         q, t = vec[0:4], vec[4:7]
         vel_q, vel_t = vec[7:11], vec[11:14]
         q_rel, t_rel = vec[14:18], vec[18:21]
@@ -992,8 +1142,8 @@ class SlamSystem:
                 # recompute velocity + ref-relative pose host-side
                 iq, it = _se3_inverse_np(q_last, t_last)
                 vel_q, vel_t = _se3_compose_np(q, t, iq, it)
-                rq = np.asarray(self.ms.kf_q[a.ref_kf], np.float32)
-                rt = np.asarray(self.ms.kf_t[a.ref_kf], np.float32)
+                rq = np.asarray(ms.kf_q[a.ref_kf], np.float32)
+                rt = np.asarray(ms.kf_t[a.ref_kf], np.float32)
                 irq, irt = _se3_inverse_np(rq, rt)
                 q_rel, t_rel = _se3_compose_np(q, t, irq, irt)
 
@@ -1186,15 +1336,18 @@ class SlamSystem:
         feat_mp_in = jnp.where(inlier, feat_mp, S.NO_MP)
 
         if self.async_mapping:
-            # insert only when the back end is idle AND the frame's map
-            # snapshot is still structurally current (feat_mp indexes MP
-            # slots of that snapshot); otherwise refuse — the reference's
-            # SetAcceptKeyFrames(false) back-pressure, counted per agent
-            # (mnKFinsertionsRefusedSinceLast)
-            if self._jobs.full() or not self._ms_lock.acquire(
-                    blocking=False):
+            # insert only when the back end has no MAPPING work pending
+            # AND the frame's map snapshot is still structurally current
+            # (feat_mp indexes MP slots of that snapshot); otherwise
+            # refuse — the reference's SetAcceptKeyFrames(false)
+            # back-pressure, counted per agent
+            # (mnKFinsertionsRefusedSinceLast).  Stats-delta jobs hold
+            # the lock only microseconds, so we WAIT for those instead
+            # of refusing (refusing on them starved KF creation).
+            if self._pending_mapping > 0 or self._jobs.full():
                 a.kf_insertions_refused += 1
                 return
+            self._ms_lock.acquire()
             try:
                 if (snap_epoch is not None
                         and snap_epoch != self.ms_epoch):
@@ -1215,6 +1368,7 @@ class SlamSystem:
             a.last_rel = (np.array([1, 0, 0, 0], np.float32),
                           np.zeros(3, np.float32))
             a.ref_kf_tracked = int((np.asarray(feat_mp_in) >= 0).sum())
+            self._pending_mapping += 1
             self._jobs.put(("mapping", a.agent_id, kf))
             return
 
@@ -1233,17 +1387,46 @@ class SlamSystem:
         if self.server is not None:
             self.server.process_keyframe(a.agent_id, kf)
 
+    def _run_mapping_epoch(self, kf, map_id):
+        """Dispatch the mapping epoch: ONE fused program by default, or
+        a front/tail split (two programs at the natural seam before the
+        windowed LBA) when ``MAM3_SPLIT_EPOCH`` is set.  The split exists
+        because the fully-fused KB8 epoch program reproducibly hard-
+        faults the tunneled TPU runtime mid-pipeline (worker 'kernel
+        fault'; the identical program on the identical state succeeds
+        when dispatched standalone, and every sub-program succeeds
+        always) — a backend bug worked around, not a numerics issue;
+        the split costs one extra dispatch (~2 ms)."""
+        import os
+        kfj, mj = jnp.asarray(kf), jnp.asarray(map_id)
+        prot = self._protected_refs()
+        if os.environ.get("MAM3_SPLIT_EPOCH"):
+            ms, counts = self.fns["mapping_epoch_front"](self.ms, kfj, mj)
+            return self.fns["mapping_epoch_tail"](ms, kfj, prot, counts)
+        return self.fns["mapping_epoch"](self.ms, kfj, mj, prot)
+
+    def _protected_refs(self):
+        """KF slots the culling pass must never remove: every agent's
+        current reference KF (reference SetNotErase/ref pinning)."""
+        return jnp.asarray([a.ref_kf for a in self.agents]
+                           + [-1], jnp.int32)
+
     # ------------------------------------------------------------------
     def _local_mapping(self, a: AgentState, kf: int):
         """LocalMapping::Run body for one keyframe (reference §3.3) —
-        one fused device program (``mapping_epoch``) plus the host-side
-        KeyFrameCulling decision (one batched redundancy dispatch)."""
+        one fused device program (``mapping_epoch``), whose output
+        includes the packed KeyFrameCulling decision, plus the host-side
+        cull loop.  Host<->device traffic for the no-cull common case:
+        the epoch dispatch + TWO fetches (n_drop and the [10, 12] pack);
+        each actual removal adds one remove_kf dispatch + one re-scoring
+        pack (erasures lower neighbors' redundancy — re-scoring on stale
+        stats over-culls and starves small maps below the server's
+        min_kfs_in_map gate)."""
         import time as _time
         _t0 = _time.perf_counter()
-        (ms, n_culled, n, n_drop, n_fused, idx,
-         ok) = self.fns["mapping_epoch"](self.ms, jnp.asarray(kf),
-                                         jnp.asarray(a.map_id))
-        n_drop = int(n_drop)
+        ms, packed = self._run_mapping_epoch(kf, a.map_id)
+        pk_all = np.asarray(packed)     # the epoch's ONE fetch
+        n_drop = int(pk_all[0, 2])
         if n_drop:
             if self.mp_dropped == 0:
                 self.events.append(
@@ -1251,73 +1434,43 @@ class SlamSystem:
                     f"triangulations (raise SlamConfig.max_mp)")
             self.mp_dropped += n_drop
 
-        # keyframe culling over the covisible window (reference
-        # KeyFrameCulling: >=90% of tracked points redundant in >=3 other
-        # KFs at same/finer scale; bail after a couple per pass).
-        # Redundancy for every candidate is computed in ONE dispatch; after
-        # an actual removal the remaining candidates are re-batched (an
-        # erasure lowers its neighbors' redundancy — scoring the 2nd cull
-        # on stale stats over-culls, which starves small maps below the
-        # server's min_kfs_in_map detection gate).
-        idx_np, ok_np = np.asarray(idx), np.asarray(ok)
-        kf_map_np = np.asarray(ms.kf_map)
-        kf_valid_np = np.asarray(ms.kf_valid)
-        protected = {kf}
-        for ag in self.agents:
-            protected.add(ag.ref_kf)
-        # loop/merge-edge endpoints are pinned (reference SetNotErase
-        # during/after place recognition) — culling one would drop the
-        # persistent constraint from the essential graph
-        lv = np.asarray(ms.loop_valid)
-        if lv.any():
-            protected.update(int(x) for x in np.asarray(ms.loop_i)[lv])
-            protected.update(int(x) for x in np.asarray(ms.loop_j)[lv])
-        # per-map gauge anchors (two OLDEST by kf_seq) are never culled
-        map_id = kf_map_np[kf]
-        in_map = kf_valid_np & (kf_map_np == map_id)
-        seq_np = np.where(in_map, np.asarray(ms.kf_seq), 1 << 30)
-        anchors = np.argsort(seq_np, kind="stable")[:2]
-        protected.update(int(x) for x in anchors)
-        frac_b, ntr_b = self.fns["kf_redundancy_batch"](ms, idx, ok)
-        frac_np, ntr_np = np.asarray(frac_b), np.asarray(ntr_b)
+        # keyframe culling (reference KeyFrameCulling: >=90% of tracked
+        # points redundant in >=3 other KFs at same/finer scale; bail
+        # after a couple per pass).  All protection / redundancy /
+        # parent-relative data arrives in the pack.
+        pk = pk_all[1:]
         culled = 0
-        stale = False
-        for j in range(len(idx_np)):
-            if not ok_np[j]:
-                continue
-            cand = int(idx_np[j])
-            if cand in protected:
-                continue
-            if stale:  # re-score on the post-removal state
-                frac_b, ntr_b = self.fns["kf_redundancy_batch"](ms, idx,
-                                                                ok)
-                frac_np, ntr_np = np.asarray(frac_b), np.asarray(ntr_b)
-                stale = False
-            if float(frac_np[j]) >= 0.9 and int(ntr_np[j]) > 20:
-                parent = int(ms.kf_parent[cand])
-                if parent >= 0:
-                    T_c = lie.SE3(ms.kf_q[cand], ms.kf_t[cand])
-                    T_p = lie.SE3(ms.kf_q[parent], ms.kf_t[parent])
-                    T_cp = lie.se3_compose(T_c, lie.se3_inverse(T_p))
-                    q_cp, t_cp = np.asarray(T_cp.q), np.asarray(T_cp.t)
-                    self.culled_kf[cand] = (parent, q_cp, t_cp)
-                    # EAGERLY re-reference trajectory rows onto the parent:
-                    # the culled slot recycles, so a later KF in the same
-                    # slot would otherwise hijack lazy resolve_ref walks
-                    for ag in self.agents:
-                        n_rows = len(ag.trajectory)
-                        for i in range(n_rows):
-                            row = ag.trajectory[i]
-                            if row[1] == cand:
-                                q_n, t_n = _se3_compose_np(
-                                    row[2], row[3], q_cp, t_cp)
-                                ag.trajectory[i] = (row[0], parent,
-                                                    q_n, t_n, row[4])
-                ms = self.fns["remove_kf"](ms, jnp.asarray(cand))
-                culled += 1
-                stale = True
-                if culled >= 2:
+        while culled < 2:
+            cand_j = -1
+            for j in range(pk.shape[0]):
+                if (pk[j, 1] > 0.5 and pk[j, 2] >= 0.9
+                        and int(pk[j, 3]) > 20):
+                    cand_j = j
                     break
+            if cand_j < 0:
+                break
+            cand = int(pk[cand_j, 0])
+            parent = int(pk[cand_j, 4])
+            if parent >= 0:
+                q_cp = pk[cand_j, 5:9].astype(np.float32)
+                t_cp = pk[cand_j, 9:12].astype(np.float32)
+                self.culled_kf[cand] = (parent, q_cp, t_cp)
+                # EAGERLY re-reference trajectory rows onto the parent:
+                # the culled slot recycles, so a later KF in the same
+                # slot would otherwise hijack lazy resolve_ref walks
+                for ag in self.agents:
+                    for i in range(len(ag.trajectory)):
+                        row = ag.trajectory[i]
+                        if row[1] == cand:
+                            q_n, t_n = _se3_compose_np(
+                                row[2], row[3], q_cp, t_cp)
+                            ag.trajectory[i] = (row[0], parent,
+                                                q_n, t_n, row[4])
+            ms = self.fns["remove_kf"](ms, jnp.asarray(cand))
+            culled += 1
+            if culled < 2:  # re-score on the post-removal state
+                pk = np.asarray(self.fns["cull_pack"](
+                    ms, jnp.asarray(kf), self._protected_refs()))
         self.ms = ms
         self.timers.add(f"LM_{a.agent_id}",
                         (_time.perf_counter() - _t0) * 1e3)

@@ -124,3 +124,39 @@ def test_async_backpressure_counts_refusals():
     assert sys_.agents[aid].state == OK
     # the system survived and still built a map
     assert int(sys_.ms.n_kf) >= 3
+
+
+def test_pipelined_tracking_matches_sync():
+    """Depth-1 pipelined tracking (SlamSystem.pipeline): same operation
+    sequence as sync, re-bucketed so each frame's result fetch overlaps
+    the next frame's host work.  Must produce the identical map and a
+    one-frame-lagged state view."""
+    world = SyntheticWorld(seed=0)
+    poses = make_trajectory(50)
+    cam = cameras.make_pinhole(FX, FY, CX, CY)
+    # render ONCE: the world's per-render measurement noise must be
+    # identical for both runs
+    frames = [world.render(R, t)[0] for R, t in poses]
+
+    def run(pipeline):
+        sys_ = SlamSystem(_cfg(), cam)
+        sys_.pipeline = pipeline
+        aid = sys_.add_agent()
+        states = []
+        for i, frame in enumerate(frames):
+            state, pose = sys_.track(aid, frame, ts=float(i))
+            states.append(state)
+        sys_.flush()  # drains the pending pipelined frame
+        return sys_, states
+
+    s_sync, st_sync = run(False)
+    s_pipe, st_pipe = run(True)
+    # identical final map (same ops, same order)
+    assert int(s_sync.ms.n_kf) == int(s_pipe.ms.n_kf)
+    np.testing.assert_allclose(np.asarray(s_pipe.agents[0].q),
+                               np.asarray(s_sync.agents[0].q), atol=1e-5)
+    # pipelined state view lags by exactly one frame once initialized
+    assert st_pipe[1:] == st_sync[:-1] or st_pipe == st_sync
+    # trajectories cover the same frames after drain
+    assert len(s_pipe.agents[0].trajectory) == \
+        len(s_sync.agents[0].trajectory)
