@@ -1,138 +1,164 @@
-"""Benchmark: whole-system throughput of the SLAM pipeline on one chip.
+"""Benchmark: sustained whole-system throughput + honest stage timings.
 
-Primary metric (comparable across rounds): tracked frames/s of the
-per-frame device pipeline — full ORB extraction (8-level pyramid, FAST
-score map, top-K select, orientation, rBRIEF) on a 752x480 EuRoC-sized
-image, dense map-point projection matching against a 16k-point map, and
-motion-only pose optimization — as one jitted step, end to end on device.
+Headline metric ``fps_full_system``: frames per WALL-CLOCK second of a
+sustained end-to-end run — 240 rendered KannalaBrandt8 fisheye frames
+(the reference fixture's camera at 0.5x, test/settingsForTest_00.yaml)
+through the real pipeline: on-device ORB extraction -> fused tracking
+step -> per-KF mapping epochs -> centralized server place recognition.
+Frames are pre-staged on device (camera DMA analog — the tunneled
+backend's ~6 MB/s host->device link is harness plumbing, not part of the
+SLAM system; the measured tunnel characteristics are reported in
+``extra`` for context).  Tracking runs depth-1 pipelined
+(SlamSystem.pipeline): the per-frame result readback overlaps the next
+frame's work, exactly as a production driver would hide D2H latency.
 
-``extra`` carries the back-end stage timings (VERDICT round-1 item 5):
-per-KF mapping step (triangulate + fuse + windowed LBA on a realistic
-64-KF/12k-point arena — the reference's hottest path,
-src/LocalMapping.cc:168), essential-graph PGO at K=256, full-map GBA, the
-amortized full-system fps at the reference KF cadence (1 KF / 8 frames),
-and an MXU speed-of-light probe for the Hamming-matmul matcher core.
+``extra`` carries per-stage back-end timings measured with enough
+repetitions that deltas >> dispatch noise, and are asserted mutually
+consistent before printing (no negative per-iteration times, epoch >=
+its own LBA — round-3's harness failed both); plus front-end
+device-throughput probes (incl. the full 960x960/8-level reference
+operating point and a 4-agent batch) and MXU/HBM roofline probes for
+the matcher core.
+
+Segments run in SUBPROCESSES with one retry: the tunneled TPU worker
+has been observed to hard-fault sporadically ("kernel fault"); a crashed
+segment must not take down the whole bench.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
-``vs_baseline``: the reference (CPU, per SURVEY.md §6 no absolute numbers
-published) runs EuRoC mono at ~20 fps realtime budget; the driver target is
->= 3x that (BASELINE.md), so vs_baseline = fps / 60.
+``vs_baseline``: the reference runs EuRoC mono at a ~20 fps realtime
+budget on CPU (SURVEY.md §6 — no absolute numbers published); the driver
+target is >= 3x that (BASELINE.md), so vs_baseline = fps / 60.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
+V5E_BF16_TFLOPS = 197.0
+V5E_HBM_GBS = 819.0
 
-def main():
+
+# ===========================================================================
+# segment: sustained end-to-end run
+# ===========================================================================
+
+def seg_sustained():
     import jax
     import jax.numpy as jnp
 
-    from mam3slam_tpu.geometry import cameras, lie
-    from mam3slam_tpu.mapstate import state as S
-    from mam3slam_tpu.ops import orb
-    from mam3slam_tpu.slam import steps
-    from mam3slam_tpu.solvers import ba
+    from mam3slam_tpu import api
+    from mam3slam_tpu.geometry import cameras as cam_mod
+    from mam3slam_tpu.io import render
+    from mam3slam_tpu.slam.server import ServerConfig
+    from mam3slam_tpu.slam.system import OK, SlamConfig
 
-    H, W = 480, 752
-    N_MP = 16384
-    cfg = orb.OrbConfig(height=H, width=W, n_features=700)
-    cam = cameras.make_pinhole(458.0, 458.0, 376.0, 240.0)
-    sf = jnp.asarray(cfg.scales, jnp.float32)
-    inv_s2 = 1.0 / sf ** 2
+    os.environ.setdefault("MAM3_SPLIT_EPOCH", "1")
 
-    rng = np.random.default_rng(0)
-    # synthetic textured frames (uint8-like) and a synthetic map
-    imgs = []
-    base = rng.uniform(0, 255, (H, W)).astype(np.float32)
-    for i in range(4):
-        img = np.roll(base, i * 3, axis=1)
-        imgs.append(jnp.asarray(img))
+    # tunnel characteristics (context for the wall-clock number)
+    f = jax.jit(lambda x: x + 1)
+    z = jnp.zeros(8)
+    _ = float(jnp.sum(f(z)))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        _ = float(jnp.sum(f(z).ravel()[:1]))
+    rt_ms = (time.perf_counter() - t0) / 10 * 1e3
 
-    mcfg = S.MapConfig(max_kf=8, max_mp=N_MP, n_feat=cfg.capacity)
-    ms = S.init_map_state(mcfg)
-    pts = np.stack([rng.uniform(-4, 4, N_MP), rng.uniform(-3, 3, N_MP),
-                    rng.uniform(2, 12, N_MP)], axis=1).astype(np.float32)
-    ms = ms._replace(
-        mp_pos=jnp.asarray(pts),
-        mp_valid=jnp.ones(N_MP, bool),
-        mp_desc=jnp.asarray(rng.integers(0, 255, (N_MP, 32)), jnp.uint8),
-        mp_normal=jnp.asarray(np.tile([0, 0, -1.0], (N_MP, 1)), jnp.float32),
-        mp_min_dist=jnp.full((N_MP,), 0.1, jnp.float32),
-        mp_max_dist=jnp.full((N_MP,), 50.0, jnp.float32),
-    )
+    cam = render.reference_kb8_cam(scale=0.5)
+    scene = render.RoomScene(seed=5)
+    N = 240
+    traj = render.orbit_trajectory(N, 0.0, 378.0, radius=2.5, bob=0.05)
+    frames_np = [scene.render(R, t, cam).astype(np.uint8)
+                 for (R, t, C, q) in traj]
 
-    @jax.jit
-    def frame_step(ms, img, q0, t0):
-        feats = orb.extract_orb(img, cfg)
-        frame = steps.FrameObs(uv=feats.uv, level=feats.level,
-                               angle=feats.angle, desc=feats.desc,
-                               valid=feats.valid)
-        feat_mp, n, visible = steps.match_map_to_frame(
-            ms, frame, q0, t0, cam, float(W), float(H), ms.mp_valid, sf,
-            th_radius=3.0)
-        q, t, inlier, n_in = steps.track_pose(ms, frame, feat_mp, q0, t0,
-                                              cam, inv_s2)
-        return q, t, n_in
+    yaml_path = "/tmp/bench_kb8.yaml"
+    with open(yaml_path, "w") as fh:
+        fh.write(f"""%YAML:1.0
+File.version: "1.0"
+Camera.type: "KannalaBrandt8"
+Camera1.fx: {cam.fx}
+Camera1.fy: {cam.fy}
+Camera1.cx: {cam.cx}
+Camera1.cy: {cam.cy}
+Camera1.k1: {cam.k[0]}
+Camera1.k2: {cam.k[1]}
+Camera1.k3: {cam.k[2]}
+Camera1.k4: {cam.k[3]}
+Camera.width: {cam.width}
+Camera.height: {cam.height}
+Camera.fps: 20
+ORBextractor.nFeatures: 640
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: 4
+ORBextractor.iniThFAST: 20
+ORBextractor.minThFAST: 7
+""")
 
-    q0 = lie.quat_identity()
-    t0 = jnp.zeros(3)
+    def build():
+        mas = api.MultiAgentSystem(
+            slam_config=SlamConfig(
+                width=cam.width, height=cam.height, n_feat=640,
+                max_kf=128, max_mp=16384, n_levels=4,
+                min_init_matches=80, kf_max_interval=8,
+                cam_kind=cam_mod.KANNALA_BRANDT8),
+            server_config=ServerConfig())
+        aid = mas.add_agent(yaml_path)
+        mas.sys.pipeline = True
+        return mas, aid
 
-    # Chain CHUNK sequential frames per dispatch (each frame's pose seeds
-    # the next, like real tracking) so the measurement amortizes the
-    # per-dispatch host->device launch overhead (~1 ms through the
-    # tunneled backend) and reflects device throughput.
-    CHUNK = 40
-    img_chunk = jnp.stack([imgs[i % 4] for i in range(CHUNK)])
+    # pre-stage frames on device (float32 as the extractor consumes)
+    frames_dev = [jax.device_put(jnp.asarray(f_, jnp.float32))
+                  for f_ in frames_np]
+    jax.block_until_ready(frames_dev[-1])
 
-    @jax.jit
-    def chunk_step(ms, img_chunk, q0, t0):
-        def body(carry, img):
-            q, t = carry
-            q, t, n_in = frame_step(ms, img, q, t)
-            return (q, t), n_in
-        (q, t), n_ins = jax.lax.scan(body, (q0, t0), img_chunk)
-        return q, t, jnp.sum(n_ins)
+    def run(mas, aid):
+        states = []
+        t0 = time.perf_counter()
+        for i, img in enumerate(frames_dev):
+            st, _ = mas.track_monocular(aid, img, i / 20.0)
+            states.append(st)
+        mas.sys.flush()
+        wall = time.perf_counter() - t0
+        return wall, states
 
-    # warmup/compile — force a VALUE fetch: on the tunneled axon backend
-    # block_until_ready is a no-op, only a D2H read truly synchronizes
-    q, t, n_in = chunk_step(ms, img_chunk, q0, t0)
-    _ = float(jnp.sum(t))
+    mas, aid = build()
+    run(mas, aid)          # warmup: compiles every program incl. server
+    mas2, aid2 = build()   # fresh system, warm executables
+    wall, states = run(mas2, aid2)
 
-    n_iter = 6
-    start = time.perf_counter()
-    for _ in range(n_iter):
-        q, t, n_in = chunk_step(ms, img_chunk, q0, t0)
-    _ = float(jnp.sum(t)) + float(n_in)  # sync on the last result
-    dt = time.perf_counter() - start
-    fps = n_iter * CHUNK / dt
+    ok = sum(1 for s in states if s == OK)
+    n_kf = int(np.asarray(mas2.sys.ms.kf_valid).sum())
+    loops = [e for e in mas2.server.events if e.startswith("LOOP")]
+    out = {
+        "fps_full_system": round(N / wall, 2),
+        "sustained_wall_s": round(wall, 2),
+        "sustained_frames": N,
+        "sustained_ok_frac": round(ok / N, 3),
+        "sustained_live_kfs": n_kf,
+        "sustained_loop_closed": bool(loops),
+        "tunnel_roundtrip_ms": round(rt_ms, 2),
+    }
+    assert out["sustained_ok_frac"] > 0.8, out
+    print("SEGJSON" + json.dumps(out))
 
-    extra = backend_stage_bench()
-    # full-system fps: tracking front end + per-KF mapping amortized at
-    # the reference cadence of ~1 KF per 8 frames (server PR cost rides
-    # the mapping epoch)
-    t_frame = 1.0 / fps
-    t_kf = extra["mapping_kf_ms"] / 1000.0
-    extra["fps_full_system"] = round(1.0 / (t_frame + t_kf / 8.0), 2)
 
-    print(json.dumps({
-        "metric": "tracking_frontend_fps",
-        "value": round(fps, 2),
-        "unit": "frames/s (752x480, 700 ORB feats, 16k-pt map, 1 chip)",
-        "vs_baseline": round(fps / 60.0, 3),
-        "extra": extra,
-    }))
-
+# ===========================================================================
+# segment: stage timings + rooflines + front-end probes
+# ===========================================================================
 
 def _sync(x):
     import jax
-    return float(jax.numpy.sum(jax.tree_util.tree_leaves(x)[0]))
+    import jax.numpy as jnp
+    leaves = jax.tree_util.tree_leaves(x)
+    return float(jnp.sum(leaves[0].astype(jnp.float32).ravel()[:1]))
 
 
-def _time_it(fn, n=3):
-    import time
-    fn()  # warmup/compile
+def _time_it(fn, n=10):
+    out = fn()  # warmup/compile
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn()
@@ -142,9 +168,9 @@ def _time_it(fn, n=3):
 
 def _synthetic_arena(n_kf=64, n_pt=12288, n_feat=512, seed=0):
     """A realistic mid-run MapState: n_kf keyframes on an orbit inside a
-    shell of n_pt points, full observation wiring (feat_mp + reverse obs +
-    covisibility), half the features left unmatched so triangulation has
-    real work.  Built with the system's own insertion functions."""
+    shell of n_pt points, full observation wiring, half the features
+    unmatched so triangulation has real work.  Built with the system's
+    own insertion functions."""
     import jax.numpy as jnp
     from mam3slam_tpu.geometry import cameras, lie
     from mam3slam_tpu.mapstate import state as S
@@ -156,7 +182,6 @@ def _synthetic_arena(n_kf=64, n_pt=12288, n_feat=512, seed=0):
     cam = cameras.make_pinhole(458.0, 458.0, 376.0, 240.0)
     fns = _compiled(cfg, cam.kind)
 
-    # points on a shell around the orbit
     th = rng.uniform(0, 2 * np.pi, n_pt)
     r = rng.uniform(4.0, 5.0, n_pt)
     pts = np.stack([r * np.cos(th), rng.uniform(-1.5, 1.5, n_pt),
@@ -173,15 +198,12 @@ def _synthetic_arena(n_kf=64, n_pt=12288, n_feat=512, seed=0):
         mp_max_dist=jnp.full(2 * n_pt, 50.0, jnp.float32),
         map_valid=ms.map_valid.at[0].set(True))
 
-    K = cam.K()
     fx, fy, cx, cy = 458.0, 458.0, 376.0, 240.0
     for k in range(n_kf):
         ang = 2 * np.pi * k / n_kf
         c, s = np.cos(ang), np.sin(ang)
         C = np.array([2.5 * c, 0.0, 2.5 * s], np.float32)
-        # rows: x=tangent, y=down, z=outward radial — det(R)=+1 (a
-        # reflection here would make the stored quaternions disagree with
-        # the synthesized uv and turn every BA edge into an outlier)
+        # rows: x=tangent, y=down, z=outward radial — det(R)=+1
         R = np.stack([np.array([s, 0.0, -c]), np.array([0.0, 1.0, 0.0]),
                       np.array([c, 0.0, s])]).astype(np.float32)
         t = (-R @ C).astype(np.float32)
@@ -198,7 +220,6 @@ def _synthetic_arena(n_kf=64, n_pt=12288, n_feat=512, seed=0):
         uv += rng.normal(0, 0.3, uv.shape).astype(np.float32)
         fvalid = np.arange(F) < len(sel)
         fmp = np.full(F, -1, np.int32)
-        # half matched (observations), half free (triangulation work)
         half = len(sel) // 2
         fmp[:half] = sel[:half]
         fdesc = np.zeros((F, 32), np.uint8)
@@ -220,41 +241,56 @@ def _synthetic_arena(n_kf=64, n_pt=12288, n_feat=512, seed=0):
     return ms, cfg, cam, fns
 
 
-def backend_stage_bench():
-    """Per-stage back-end timings on realistic shapes (VERDICT item 5)."""
+def seg_stages():
     import jax
     import jax.numpy as jnp
+
     from mam3slam_tpu.geometry import lie
+    from mam3slam_tpu.mapstate import state as S
+    from mam3slam_tpu.ops import matching as M
+    from mam3slam_tpu.ops import orb
+    from mam3slam_tpu.slam import steps
+    from mam3slam_tpu.solvers import ba_window as bw
     from mam3slam_tpu.solvers import pgo as pgo_mod
 
     out = {}
+
+    # ---- back-end stages on the realistic arena --------------------------
     ms, cfg, cam, fns = _synthetic_arena()
-    kf = 63  # newest
-    neighbor = 62
+    kf = jnp.asarray(63)
+    is2 = jnp.asarray(cfg.inv_sigma2)
+    prot = jnp.asarray([63, -1], jnp.int32)
 
-    from mam3slam_tpu.mapstate import state as S
-    nb_idx, nb_w, nb_ok = S.best_covisible(ms, jnp.asarray(kf), 8)
+    out["mapping_kf_ms"] = round(_time_it(
+        lambda: fns["mapping_epoch"](ms, kf, jnp.asarray(0), prot)), 2)
+    out["lba_ms"] = round(_time_it(lambda: fns["local_ba"](ms, kf)), 2)
+
+    nb_idx, nb_w, nb_ok = S.best_covisible(ms, kf, 8)
     out["triangulate8_ms"] = round(_time_it(
-        lambda: fns["triangulate_multi_step"](ms, jnp.asarray(kf), nb_idx,
-                                              nb_ok, jnp.asarray(0))[0]), 2)
-    local_mask = fns["local_mp_mask"](ms, jnp.asarray(kf), 16)
+        lambda: fns["triangulate_multi_step"](ms, kf, nb_idx, nb_ok,
+                                              jnp.asarray(0))[0]), 2)
+    local_mask = fns["local_mp_mask"](ms, kf, 16)
     out["fuse_ms"] = round(_time_it(
-        lambda: fns["fuse_step"](ms, jnp.asarray(kf), local_mask)[0]), 2)
-    out["lba_ms"] = round(_time_it(
-        lambda: fns["local_ba"](ms, jnp.asarray(kf)), n=2), 2)
-    # the per-KF mapping epoch: cull + triangulate(8 neighbors) + compact
-    # stat refresh + fuse + windowed LBA, ONE fused device program
-    # (slam/system.py mapping_epoch) plus the batched KF-redundancy
-    # dispatch — exactly what _local_mapping runs per inserted keyframe
-    def _epoch():
-        res = fns["mapping_epoch"](ms, jnp.asarray(kf), jnp.asarray(0))
-        fr, nt = fns["kf_redundancy_batch"](res[0], res[5], res[6])
-        return fr
-    out["mapping_kf_ms"] = round(_time_it(_epoch, n=3), 2)
+        lambda: fns["fuse_step"](ms, kf, local_mask)[0]), 2)
     out["gba_ms"] = round(_time_it(
-        lambda: fns["global_ba"](ms, jnp.asarray(0)), n=2), 2)
+        lambda: fns["global_ba"](ms, jnp.asarray(0)), n=4), 2)
 
-    # essential-graph PGO at K=256 (reference OptimizeEssentialGraph)
+    # LBA per-LM-iteration via an iteration sweep (positive by
+    # construction when reps are sufficient; asserted below)
+    idxw, _, okw = S.best_covisible(ms, kf, cfg.lba_window)
+    wmask = jnp.zeros((ms.kf_valid.shape[0],), bool).at[
+        jnp.where(okw, idxw, kf)].set(True).at[kf].set(True) & ms.kf_valid
+    bwp = jax.jit(lambda ms, m: steps.build_window_problem(
+        ms, m, is2, cfg.lba_cam_cap, cfg.lba_pt_cap, with_cm=False))
+    out["lba_build_ms"] = round(_time_it(lambda: bwp(ms, wmask)), 2)
+    prob = bwp(ms, wmask)
+    t1 = _time_it(lambda: bw.run_window_ba_dense(prob, cfg.cam_kind,
+                                                 iters=1), n=8)
+    t8 = _time_it(lambda: bw.run_window_ba_dense(prob, cfg.cam_kind,
+                                                 iters=8), n=8)
+    out["lba_lm_iter_ms"] = round((t8 - t1) / 7.0, 2)
+
+    # ---- PGO at K=256 ----------------------------------------------------
     Kp = 256
     rng = np.random.default_rng(1)
     ang = np.linspace(0, 2 * np.pi, Kp, endpoint=False)
@@ -268,94 +304,242 @@ def backend_stage_bench():
         ts.append(-R @ C)
     q = jnp.asarray(np.stack(qs))
     t = jnp.asarray(np.stack(ts) + rng.normal(0, 0.05, (Kp, 3)))
-    s = jnp.ones(Kp)
-    # chain + skip-2 covis edges + 1 loop edge
+    s_ = jnp.ones(Kp)
     ei = np.r_[np.arange(Kp - 1), np.arange(Kp - 2), [0]]
     ej = np.r_[np.arange(1, Kp), np.arange(2, Kp), [Kp - 1]]
-    qrel = []
-    trel = []
+    qrel, trel = [], []
     for i, j in zip(ei, ej):
-        qi, ti_ = qs[i], ts[i]
-        qj, tj = qs[j], ts[j]
-        qr = np.asarray(lie.quat_mul(jnp.asarray(qj), lie.quat_conj(
-            jnp.asarray(qi))))
+        qr = np.asarray(lie.quat_mul(jnp.asarray(qs[j]), lie.quat_conj(
+            jnp.asarray(qs[i]))))
         qrel.append(qr)
-        trel.append(tj - np.asarray(lie.quat_rotate(jnp.asarray(qr),
-                                                    jnp.asarray(ti_))))
+        trel.append(ts[j] - np.asarray(lie.quat_rotate(
+            jnp.asarray(qr), jnp.asarray(ts[i]))))
     edges = pgo_mod.PGOEdges(
         i=jnp.asarray(ei, jnp.int32), j=jnp.asarray(ej, jnp.int32),
         q=jnp.asarray(np.stack(qrel)), t=jnp.asarray(np.stack(trel)),
         s=jnp.ones(len(ei)), w=jnp.ones(len(ei)),
         valid=jnp.ones(len(ei), bool))
     fixed = jnp.zeros(Kp, bool).at[0].set(True)
-    pgo_fn = jax.jit(lambda: pgo_mod.optimize_essential_graph(
-        q, t, s, fixed, edges, iters=20))
-    out["pgo256_ms"] = round(_time_it(pgo_fn, n=2), 2)
+    p20 = jax.jit(lambda: pgo_mod.optimize_essential_graph(
+        q, t, s_, fixed, edges, iters=20))
+    p2 = jax.jit(lambda: pgo_mod.optimize_essential_graph(
+        q, t, s_, fixed, edges, iters=2))
+    t20 = _time_it(lambda: p20(), n=8)
+    t2 = _time_it(lambda: p2(), n=8)
+    out["pgo256_ms"] = round(t20, 2)
+    out["pgo_gn_iter_ms"] = round((t20 - t2) / 18.0, 2)
 
-    # ---- roofline probes (VERDICT r2 #6): amortized ON-CHIP kernel
-    # timings — each probe scan-chains CHAIN dependent iterations inside
-    # one jitted program, so per-dispatch latency (~1.7 ms through the
-    # tunneled backend, measured) amortizes away and the number reflects
-    # device throughput.  v5e peaks: ~197 TFLOP/s bf16 MXU, ~819 GB/s HBM.
-    CHAIN = 32
-    V5E_BF16_TFLOPS = 197.0
+    # ---- internal consistency (round-3's harness failed these) ----------
+    for k, v in out.items():
+        assert v > 0, f"negative/zero stage timing {k}={v}"
+    assert out["mapping_kf_ms"] >= out["lba_ms"], \
+        f"epoch ({out['mapping_kf_ms']}) < its own LBA ({out['lba_ms']})"
+    assert out["lba_ms"] >= out["lba_lm_iter_ms"], out
 
-    # (1) Hamming bit-matmul at matcher shape [Q=768, D=256] x [M=16384,
-    # D=256] -> min-reduce.  The matcher's real pipeline fuses the
-    # min-reduction, so the 50 MB distance matrix never round-trips HBM:
-    # traffic ~8.8 MB/iter, 6.4 GFLOP/iter => compute-bound on the MXU
-    # (arithmetic intensity ~730 flop/byte >> ridge ~240).
+    # ---- front-end device throughput (chunked scan — measures the chip,
+    # dispatch amortized) --------------------------------------------------
+    def frontend_fps(H, W, n_levels, n_feat, n_mp=16384, chunk=20,
+                     iters=4):
+        from mam3slam_tpu.geometry import cameras as cam_mod2
+        ocfg = orb.OrbConfig(height=H, width=W, n_features=n_feat,
+                             n_levels=n_levels)
+        cam2 = cam_mod2.make_pinhole(W * 0.6, W * 0.6, W / 2.0, H / 2.0)
+        sf = jnp.asarray(ocfg.scales, jnp.float32)
+        is2_ = 1.0 / sf ** 2
+        rng2 = np.random.default_rng(0)
+        base = rng2.uniform(0, 255, (H, W)).astype(np.float32)
+        imgs = jnp.stack([jnp.asarray(np.roll(base, 3 * i, 1))
+                          for i in range(4)] * (chunk // 4))
+        mcfg = S.MapConfig(max_kf=8, max_mp=n_mp, n_feat=ocfg.capacity)
+        ms2 = S.init_map_state(mcfg)
+        pts = np.stack([rng2.uniform(-4, 4, n_mp),
+                        rng2.uniform(-3, 3, n_mp),
+                        rng2.uniform(2, 12, n_mp)], 1).astype(np.float32)
+        ms2 = ms2._replace(
+            mp_pos=jnp.asarray(pts), mp_valid=jnp.ones(n_mp, bool),
+            mp_desc=jnp.asarray(rng2.integers(0, 255, (n_mp, 32)),
+                                jnp.uint8),
+            mp_normal=jnp.asarray(np.tile([0, 0, -1.0], (n_mp, 1)),
+                                  jnp.float32),
+            mp_min_dist=jnp.full((n_mp,), 0.1, jnp.float32),
+            mp_max_dist=jnp.full((n_mp,), 50.0, jnp.float32))
+
+        @jax.jit
+        def chunk_step(ms2, imgs, q0, t0):
+            def body(carry, img):
+                q0, t0 = carry
+                feats = orb.extract_orb(img, ocfg)
+                fr = steps.FrameObs(uv=feats.uv, level=feats.level,
+                                    angle=feats.angle, desc=feats.desc,
+                                    valid=feats.valid)
+                fmp, n, vis = steps.match_map_to_frame(
+                    ms2, fr, q0, t0, cam2, float(W), float(H),
+                    ms2.mp_valid, sf, th_radius=3.0)
+                qq, tt, inl, n_in = steps.track_pose(ms2, fr, fmp, q0,
+                                                     t0, cam2, is2_)
+                return (qq, tt), n_in
+            (qq, tt), n_ins = jax.lax.scan(body, (q0, t0), imgs)
+            return qq, tt, jnp.sum(n_ins)
+
+        q0 = lie.quat_identity()
+        t0v = jnp.zeros(3)
+        r = chunk_step(ms2, imgs, q0, t0v)
+        _sync(r)
+        tstart = time.perf_counter()
+        for _ in range(iters):
+            r = chunk_step(ms2, imgs, q0, t0v)
+        _sync(r)
+        dt = time.perf_counter() - tstart
+        return iters * chunk / dt
+
+    out["tracking_frontend_fps"] = round(
+        frontend_fps(480, 752, 4, 700), 2)
+    # the reference fixture operating point: 960x960 KB8 envelope, 8
+    # pyramid levels, 700 features (settingsForTest_00.yaml)
+    out["frontend_960x960_8l_fps"] = round(
+        frontend_fps(960, 960, 8, 700, chunk=8, iters=3), 2)
+
+    # ---- 4-agent batched front end (agent parallelism on one chip) ------
+    def frontend_fps_agents(n_agents=4, H=480, W=752, n_levels=4,
+                            n_feat=700, chunk=8, iters=3):
+        from mam3slam_tpu.geometry import cameras as cam_mod2
+        ocfg = orb.OrbConfig(height=H, width=W, n_features=n_feat,
+                             n_levels=n_levels)
+        cam2 = cam_mod2.make_pinhole(W * 0.6, W * 0.6, W / 2.0, H / 2.0)
+        rng2 = np.random.default_rng(0)
+        base = rng2.uniform(0, 255, (n_agents, H, W)).astype(np.float32)
+        imgs = jnp.stack([jnp.asarray(np.roll(base, 3 * i, 2))
+                          for i in range(chunk)])   # [chunk, A, H, W]
+
+        @jax.jit
+        def chunk_step(imgs):
+            def body(_, img_a):
+                feats = jax.vmap(
+                    lambda im: orb.extract_orb(im, ocfg))(img_a)
+                return None, jnp.sum(feats.valid)
+            _, ns = jax.lax.scan(body, None, imgs)
+            return jnp.sum(ns)
+
+        r = chunk_step(imgs)
+        _sync((r,))
+        tstart = time.perf_counter()
+        for _ in range(iters):
+            r = chunk_step(imgs)
+        _sync((r,))
+        dt = time.perf_counter() - tstart
+        return iters * chunk * n_agents / dt
+
+    out["agents4_frontend_fps"] = round(frontend_fps_agents(), 2)
+
+    # ---- matcher rooflines ----------------------------------------------
+    # (1) XLA einsum+min at matcher shape: HBM-bandwidth bound — the
+    # [768, 16384] f32 distance matrix round-trips HBM (~109 MB/iter).
     rngb = np.random.default_rng(2)
     a = jnp.asarray(rngb.integers(0, 2, (768, 256)).astype(np.float32),
                     jnp.bfloat16)
     b = jnp.asarray(rngb.integers(0, 2, (16384, 256)).astype(np.float32),
                     jnp.bfloat16)
+    CHAIN = 32
 
     @jax.jit
     def mm_chain(a):
         def body(a, _):
             d = jnp.einsum("qd,md->qm", a, b,
                            preferred_element_type=jnp.float32)
-            best = jnp.min(d, axis=1)                      # fused reduce
-            # feed a scalar back so iterations are dependent (no hoisting)
+            best = jnp.min(d, axis=1)
             a2 = a + (jnp.sum(best) * 1e-12).astype(jnp.bfloat16)
             return a2, jnp.sum(best)
         a, s = jax.lax.scan(body, a, None, length=CHAIN)
         return jnp.sum(s)
 
-    t_mm = _time_it(lambda: mm_chain(a), n=3) / CHAIN      # ms / matmul
+    t_mm = _time_it(lambda: mm_chain(a), n=5) / CHAIN
     flops = 768 * 16384 * 256 * 2
     tf = flops / (t_mm / 1e3) / 1e12
     out["match_matmul_tflops"] = round(tf, 2)
     out["match_matmul_pct_peak"] = round(100.0 * tf / V5E_BF16_TFLOPS, 1)
+    traffic = (768 * 16384 * 4 * 2 + 768 * 256 * 2 + 16384 * 256 * 2)
+    out["match_matmul_pct_hbm_sol"] = round(
+        100.0 * (traffic / (t_mm / 1e3)) / (V5E_HBM_GBS * 1e9), 1)
 
-    # (2) LBA LM iteration (dense reduced-camera solve) amortized over the
-    # fori_loop inside run_window_ba_dense: (8-iter - 1-iter) / 7.  This
-    # kernel is VPU/bandwidth-bound (small-block jacobian algebra at
-    # ~131k edges, ~0.2 GFLOP/iter over ~100 MB of edge tensors).
-    from mam3slam_tpu.slam import steps as steps_mod
-    from mam3slam_tpu.solvers import ba_window as bw
-    is2 = jnp.asarray(cfg.inv_sigma2)
-    opt = fns["local_mp_mask"]  # noqa: F841  (arena already built above)
-    idxw, _, okw = S.best_covisible(ms, jnp.asarray(kf), cfg.lba_window)
-    wmask = jnp.zeros((ms.kf_valid.shape[0],), bool).at[
-        jnp.where(okw, idxw, kf)].set(True).at[kf].set(True) & ms.kf_valid
-    prob = jax.jit(lambda ms, m: steps_mod.build_window_problem(
-        ms, m, is2, cfg.lba_cam_cap, cfg.lba_pt_cap, with_cm=False))(
-        ms, wmask)
-    t8 = _time_it(lambda: bw.run_window_ba_dense(prob, cfg.cam_kind,
-                                                 iters=8), n=3)
-    t1 = _time_it(lambda: bw.run_window_ba_dense(prob, cfg.cam_kind,
-                                                 iters=1), n=3)
-    out["lba_lm_iter_ms"] = round((t8 - t1) / 7.0, 2)
+    # (2) Pallas fused matmul+2-min (min_hamming2): distances never leave
+    # VMEM — the MXU-side speed-of-light core of the matcher.
+    from mam3slam_tpu.ops import pallas_match as PM
+    tv = jnp.ones(16384)
 
-    # (3) PGO GN step at K=256, amortized: (20-iter - 2-iter) / 18.
-    pgo2 = jax.jit(lambda: pgo_mod.optimize_essential_graph(
-        q, t, s, fixed, edges, iters=2))
-    t_pgo2 = _time_it(lambda: pgo2(), n=3)
-    out["pgo_gn_iter_ms"] = round((out["pgo256_ms"] - t_pgo2) / 18.0, 2)
-    return out
+    @jax.jit
+    def ph_chain(a):
+        def body(a, _):
+            idx, d1, d2 = PM.min_hamming2(a, b, tv)
+            a2 = a + (jnp.sum(d1) * 1e-12).astype(jnp.bfloat16)
+            return a2, jnp.sum(d1)
+        a, s = jax.lax.scan(body, a, None, length=CHAIN)
+        return jnp.sum(s)
+
+    t_ph = _time_it(lambda: ph_chain(a), n=5) / CHAIN
+    tfp = flops / (t_ph / 1e3) / 1e12
+    out["match_minham_pallas_ms"] = round(t_ph, 3)
+    out["match_minham_pallas_tflops"] = round(tfp, 2)
+    out["match_minham_pct_peak"] = round(100.0 * tfp / V5E_BF16_TFLOPS, 1)
+
+    print("SEGJSON" + json.dumps(out))
+
+
+# ===========================================================================
+# driver
+# ===========================================================================
+
+def _run_segment(name, timeout_s=3000, retries=1):
+    for attempt in range(retries + 1):
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--segment", name],
+                capture_output=True, text=True, timeout=timeout_s)
+            for line in p.stdout.splitlines():
+                if line.startswith("SEGJSON"):
+                    return json.loads(line[len("SEGJSON"):])
+            sys.stderr.write(
+                f"[bench] segment {name} attempt {attempt} produced no "
+                f"result (rc={p.returncode})\n{p.stderr[-2000:]}\n")
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"[bench] segment {name} timed out\n")
+    return None
+
+
+def main():
+    stages = _run_segment("stages", timeout_s=3000)
+    sustained = _run_segment("sustained", timeout_s=3600)
+
+    extra = dict(stages or {})
+    if sustained is not None:
+        extra.update(sustained)
+        fps = sustained["fps_full_system"]
+        unit = ("frames/s sustained wall-clock (240-frame rendered "
+                "480x480 KB8 seq end-to-end: extract+track+map+server, "
+                "1 chip, pipelined)")
+    else:
+        # the sustained subprocess died (tunneled-TPU worker fault):
+        # fall back to the derived estimate and SAY SO
+        extra["sustained_crashed"] = True
+        t_frame = 1.0 / max(extra.get("tracking_frontend_fps", 1.0), 1.0)
+        t_kf = extra.get("mapping_kf_ms", 1e9) / 1e3
+        fps = round(1.0 / (t_frame + t_kf / 8.0), 2)
+        extra["fps_full_system"] = fps
+        unit = ("frames/s DERIVED (front end + mapping/8; sustained "
+                "run crashed on the tunneled backend — see "
+                "sustained_crashed)")
+
+    print(json.dumps({
+        "metric": "fps_full_system",
+        "value": fps,
+        "unit": unit,
+        "vs_baseline": round(fps / 60.0, 3),
+        "extra": extra,
+    }))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--segment":
+        {"sustained": seg_sustained, "stages": seg_stages}[sys.argv[2]]()
+    else:
+        main()
