@@ -448,15 +448,17 @@ def build_window_problem(ms: S.MapState, opt_mask, inv_sigma2,
     P, Mo = ms.mp_obs_kf.shape
     fmp = ms.kf_feat_mp
 
-    # --- free-camera compaction (stable argsort: free cams first, in
-    # arena order — identical to cumsum compaction, no scatter)
+    # --- free-camera compaction (cumsum + unique-index scatter: same
+    # stable order as an argsort compaction at a fraction of the cost —
+    # the pt-side argsort over the 24k arena was ~1/3 of the build)
     cam_free = opt_mask & ms.kf_valid
-    corder = jnp.argsort(~cam_free, stable=True).astype(jnp.int32)
-    cam_idx = jnp.where(cam_free[corder[:cam_cap]], corder[:cam_cap], -1)
-    cam_valid = cam_idx >= 0
-    ci = jnp.clip(cam_idx, 0)
     cpos = jnp.cumsum(cam_free.astype(jnp.int32)) - 1
     cam_slot_of = jnp.where(cam_free & (cpos < cam_cap), cpos, -1)  # [K]
+    ctgt = jnp.where(cam_slot_of >= 0, cam_slot_of, cam_cap)
+    cam_idx = jnp.full((cam_cap,), -1, jnp.int32).at[ctgt].set(
+        jnp.arange(K, dtype=jnp.int32), mode="drop")
+    cam_valid = cam_idx >= 0
+    ci = jnp.clip(cam_idx, 0)
     eff_free = cam_slot_of >= 0            # overflowed free cams => fixed
 
     # --- window points: observed by an effective-free KF.  Computed from
@@ -466,12 +468,13 @@ def build_window_problem(ms: S.MapState, opt_mask, inv_sigma2,
               & (ms.mp_obs_kf >= 0))
     pt_free = jnp.any(obs_ok & eff_free[jnp.clip(ms.mp_obs_kf, 0)],
                       axis=1) & ms.mp_valid
-    porder = jnp.argsort(~pt_free, stable=True).astype(jnp.int32)
-    pt_idx = jnp.where(pt_free[porder[:pt_cap]], porder[:pt_cap], -1)
-    pt_valid = pt_idx >= 0
-    pi = jnp.clip(pt_idx, 0)
     ppos = jnp.cumsum(pt_free.astype(jnp.int32)) - 1
     pt_slot_of = jnp.where(pt_free & (ppos < pt_cap), ppos, -1)     # [P]
+    ptgt = jnp.where(pt_slot_of >= 0, pt_slot_of, pt_cap)
+    pt_idx = jnp.full((pt_cap,), -1, jnp.int32).at[ptgt].set(
+        jnp.arange(P, dtype=jnp.int32), mode="drop")
+    pt_valid = pt_idx >= 0
+    pi = jnp.clip(pt_idx, 0)
 
     # --- point-major view from the reverse-observation table
     pm_kf = ms.mp_obs_kf[pi]                                # [Pw, M]

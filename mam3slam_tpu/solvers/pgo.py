@@ -154,6 +154,118 @@ def optimize_essential_graph(q_kw, t_kw, s_kw, fixed, edges: PGOEdges,
     return carry[0], carry[1], carry[2]
 
 
+def optimize_essential_graph_4dof(q_kw, t_kw, fixed,
+                                  edges: PGOEdges, iters: int = 20,
+                                  lam0: float = 1e-4,
+                                  gravity_axis=None):
+    """4DoF essential-graph optimization (reference Optimizer.cc:5299
+    ``OptimizeEssentialGraph4DoF`` / G2oTypes ``VertexPose4DoF`` +
+    ``Edge4DoF``): for inertial maps whose roll/pitch are observable
+    from gravity, only YAW (rotation about ``gravity_axis``, default
+    world z) and translation are optimized; the full SE3 edge residual
+    is evaluated (roll/pitch discrepancies contribute error but cannot
+    be absorbed), and scale is held at 1 (inertial maps are metric).
+
+    Same damped-GN/accept-reject machinery as
+    ``optimize_essential_graph`` with a 4-dim left-retraction
+    ``T' = [Rot(axis, dyaw) | dt] o T``.  Returns corrected (q, t)."""
+    K = q_kw.shape[0]
+    E = edges.i.shape[0]
+    axis = (jnp.asarray([0.0, 0.0, 1.0]) if gravity_axis is None
+            else jnp.asarray(gravity_axis))
+    axis = axis / jnp.maximum(jnp.linalg.norm(axis), 1e-9)
+    ones = jnp.ones_like(q_kw[..., 0])
+
+    def cost_of(q, t):
+        r = edge_residual(q[edges.i], t[edges.i], ones[edges.i],
+                          q[edges.j], t[edges.j], ones[edges.j],
+                          edges.q, edges.t, edges.s)
+        w = jnp.where(edges.valid, edges.w, 0.0)
+        return jnp.sum(w * jnp.sum(r * r, axis=-1))
+
+    def perturb(xi, qq, tt):
+        # right-composition with a WORLD-frame perturbation: T_cw' =
+        # T_cw o d, d = [Rot(gravity_axis, dyaw) | dt] — yaw spins the
+        # world about gravity (the only unobservable rotation DoF of an
+        # inertial map), dt translates the world
+        half = 0.5 * xi[0]
+        dq = jnp.concatenate([jnp.cos(half)[None],
+                              jnp.sin(half) * axis])
+        q2 = lie.quat_mul(qq, dq)
+        t2 = tt + lie.quat_rotate(qq, xi[1:4])
+        return q2, t2
+
+    def gn_step(carry, _):
+        q, t, lam, cost = carry
+        qi, ti = q[edges.i], t[edges.i]
+        qj, tj = q[edges.j], t[edges.j]
+
+        def r_of(xi_i, xi_j, qi, ti, qj, tj, qm, tm, sm):
+            q1, t1 = perturb(xi_i, qi, ti)
+            q2, t2 = perturb(xi_j, qj, tj)
+            one = jnp.ones(())
+            return edge_residual(q1, t1, one, q2, t2, one, qm, tm, sm)
+
+        zeros = jnp.zeros((E, 4))
+        r = jax.vmap(r_of)(zeros, zeros, qi, ti, qj, tj,
+                           edges.q, edges.t, edges.s)
+        Ji = jax.vmap(jax.jacfwd(r_of, argnums=0))(
+            zeros, zeros, qi, ti, qj, tj, edges.q, edges.t, edges.s)
+        Jj = jax.vmap(jax.jacfwd(r_of, argnums=1))(
+            zeros, zeros, qi, ti, qj, tj, edges.q, edges.t, edges.s)
+
+        w = jnp.where(edges.valid, edges.w, 0.0)
+        Ji = Ji * (~fixed[edges.i])[:, None, None]
+        Jj = Jj * (~fixed[edges.j])[:, None, None]
+
+        Hii = jnp.einsum("eki,ekj,e->eij", Ji, Ji, w)
+        Hjj = jnp.einsum("eki,ekj,e->eij", Jj, Jj, w)
+        Hij = jnp.einsum("eki,ekj,e->eij", Ji, Jj, w)
+        gi = jnp.einsum("eki,ek,e->ei", Ji, r, w)
+        gj = jnp.einsum("eki,ek,e->ei", Jj, r, w)
+
+        H = jnp.zeros((K, K, 4, 4))
+        H = H.at[edges.i, edges.i].add(Hii)
+        H = H.at[edges.j, edges.j].add(Hjj)
+        H = H.at[edges.i, edges.j].add(Hij)
+        H = H.at[edges.j, edges.i].add(jnp.swapaxes(Hij, -1, -2))
+        g = jnp.zeros((K, 4))
+        g = g.at[edges.i].add(gi)
+        g = g.at[edges.j].add(gj)
+
+        eye4 = jnp.eye(4)
+        diag_fix = jnp.where(fixed[:, None, None], eye4[None], 0.0)
+        diag = jnp.diagonal(H[jnp.arange(K), jnp.arange(K)],
+                            axis1=-2, axis2=-1)
+        damp = lam * jnp.maximum(diag, 1e-6) + 1e-8
+        H = H.at[jnp.arange(K), jnp.arange(K)].add(
+            diag_fix + damp[..., None] * eye4[None])
+        Hd = H.transpose(0, 2, 1, 3).reshape(4 * K, 4 * K)
+        gd = g.reshape(4 * K)
+        chol = jax.scipy.linalg.cho_factor(Hd)
+        dx = jax.scipy.linalg.cho_solve(chol, -gd).reshape(K, 4)
+        dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx,
+                       jnp.zeros_like(dx))
+        dx = jnp.where(fixed[:, None], 0.0, dx)
+
+        nq, nt = jax.vmap(perturb)(dx, q, t)
+        nq = lie.quat_normalize(nq)
+        new_cost = cost_of(nq, nt)
+        accept = new_cost < cost
+        lam2 = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-7),
+                         jnp.minimum(lam * 5.0, 1e5))
+        q = jnp.where(accept, nq, q)
+        t = jnp.where(accept, nt, t)
+        cost = jnp.where(accept, new_cost, cost)
+        return (q, t, lam2, cost), None
+
+    cost0 = cost_of(q_kw, t_kw)
+    carry, _ = jax.lax.scan(
+        gn_step, (q_kw, t_kw, jnp.asarray(lam0, jnp.float32), cost0),
+        None, length=iters)
+    return carry[0], carry[1]
+
+
 def correct_points_by_ref(mp_pos, mp_ref_kf, mp_mask,
                           q_old, t_old, s_old, q_new, t_new, s_new):
     """Map-point correction through the reference KF's before/after Sim3

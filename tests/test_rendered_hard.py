@@ -21,7 +21,8 @@ from mam3slam_tpu.slam.system import LOST, NOT_INITIALIZED, OK, SlamConfig
 pytestmark = pytest.mark.slow  # full-suite tier; smoke = -m "not slow"
 
 
-def _yaml_kb8(cam: render.RenderCam) -> str:
+def _yaml_kb8(cam: render.RenderCam, n_levels: int = 4,
+              n_features: int = 600) -> str:
     k1, k2, k3, k4 = cam.k
     return f"""%YAML:1.0
 File.version: "1.0"
@@ -38,9 +39,9 @@ Camera.width: {cam.width}
 Camera.height: {cam.height}
 Camera.fps: 20
 Camera.RGB: 1
-ORBextractor.nFeatures: 600
+ORBextractor.nFeatures: {n_features}
 ORBextractor.scaleFactor: 1.2
-ORBextractor.nLevels: 4
+ORBextractor.nLevels: {n_levels}
 ORBextractor.iniThFAST: 20
 ORBextractor.minThFAST: 7
 """
@@ -224,4 +225,43 @@ def test_rendered_atlas_v103(tmp_path):
     ate, span = _ate_span(mas, aid, traj_b, ts_offset=160 / 20.0,
                           min_frames=40)
     assert ate < 0.015 * span, (ate, span)
+    mas.shutdown()
+
+
+def test_rendered_kb8_full_operating_point(tmp_path):
+    """The reference fixture's full operating envelope (VERDICT r3 #4):
+    KannalaBrandt8 fisheye at 0.75x resolution (720x720), ALL 8 pyramid
+    levels, 700 features (settingsForTest_00.yaml: 960x960/8/700; the
+    full-size point itself is exercised by the committed
+    artifacts/rendered_kb8_full run).  Closed-loop orbit: sustained
+    tracking, a LOOP event, ATE < 1.2% of span."""
+    cam = render.reference_kb8_cam(scale=0.75)
+    scene = render.RoomScene(seed=5)
+    traj = render.orbit_trajectory(210, 0.0, 378.0, radius=2.5, bob=0.05)
+    yaml_path = tmp_path / "kb8_full.yaml"
+    yaml_path.write_text(_yaml_kb8(cam, n_levels=8, n_features=700))
+
+    from mam3slam_tpu.geometry import cameras as cam_mod
+    mas = api.MultiAgentSystem(
+        slam_config=SlamConfig(width=cam.width, height=cam.height,
+                               n_feat=768, max_kf=128, max_mp=16384,
+                               n_levels=8, min_init_matches=80,
+                               kf_max_interval=8,
+                               cam_kind=cam_mod.KANNALA_BRANDT8),
+        server_config=ServerConfig())
+    aid = mas.add_agent(str(yaml_path))
+
+    states = []
+    for i, (R, t, C, q) in enumerate(traj):
+        img = scene.render(R, t, cam)
+        st, _ = mas.track_monocular(aid, img, i / 20.0)
+        states.append(st)
+
+    first_ok = states.index(OK)
+    ok_frac = np.mean([s == OK for s in states[first_ok:]])
+    assert ok_frac > 0.9, (ok_frac, "".join(str(s) for s in states))
+    loops = [e for e in mas.server.events if e.startswith("LOOP")]
+    assert loops, (mas.server.events, mas.sys.events)
+    ate, span = _ate_span(mas, aid, traj)
+    assert ate < 0.012 * span, (ate, span)
     mas.shutdown()
