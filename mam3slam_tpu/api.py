@@ -38,6 +38,7 @@ class MultiAgentSystem:
                  server_config: Optional[ServerConfig] = None,
                  slam_config: Optional[SlamConfig] = None, seed: int = 0,
                  async_mapping: bool = False,
+                 pipeline: bool = False,
                  slam_overrides: Optional[dict] = None):
         self._vocab = vocabulary
         self._active_lc = active_loop_closing
@@ -46,6 +47,11 @@ class MultiAgentSystem:
         self._slam_overrides = slam_overrides or {}
         self._seed = seed
         self._async_mapping = async_mapping
+        # depth-1 pipelined tracking: track_monocular returns the
+        # PREVIOUS frame's (state, pose); the result readback overlaps
+        # the next frame's work (high-latency links).  shutdown()/flush
+        # drain the pending frame.
+        self._pipeline = pipeline
         self.sys: Optional[SlamSystem] = None
         self.server: Optional[LoopServer] = None
         self._settings: List[settings_mod.Settings] = []
@@ -77,6 +83,7 @@ class MultiAgentSystem:
                 cfg = dataclasses.replace(cfg, **self._slam_overrides)
             self.sys = SlamSystem(cfg, st.camera(), seed=self._seed,
                                   async_mapping=self._async_mapping)
+            self.sys.pipeline = self._pipeline
             if self._active_lc:
                 self.server = LoopServer(self.sys, self._server_cfg,
                                          vocab=self._vocab,
@@ -106,18 +113,27 @@ class MultiAgentSystem:
 
     # -- reference: Agent::TrackMonocular ----------------------------------
     def track_monocular(self, agent_id: int, image: np.ndarray, ts: float):
-        """Grayscale image [H, W] (uint8 or f32 0..255) -> (state, pose)."""
+        """Grayscale image [H, W] (uint8 or f32 0..255) -> (state, pose).
+        A device-resident jax array of the right geometry is consumed
+        as-is (no host round-trip — pre-staged camera buffers)."""
+        import jax
         import jax.numpy as jnp
 
-        img_np = np.asarray(image, np.float32)
         st = self._settings[agent_id]
-        if img_np.shape != (st.eff_height, st.eff_width):
-            # settings-requested resize (reference Agent::TrackMonocular
-            # cv::resize, src/Agent.cc:135-140)
-            import cv2
-            img_np = cv2.resize(img_np, (st.eff_width, st.eff_height),
-                                interpolation=cv2.INTER_AREA)
-        img = jnp.asarray(img_np)
+        if (isinstance(image, jax.Array)
+                and image.shape == (st.eff_height, st.eff_width)):
+            img = (image if image.dtype == jnp.float32
+                   else image.astype(jnp.float32))
+        else:
+            img_np = np.asarray(image, np.float32)
+            if img_np.shape != (st.eff_height, st.eff_width):
+                # settings-requested resize (reference
+                # Agent::TrackMonocular cv::resize, src/Agent.cc:135-140)
+                import cv2
+                img_np = cv2.resize(img_np,
+                                    (st.eff_width, st.eff_height),
+                                    interpolation=cv2.INTER_AREA)
+            img = jnp.asarray(img_np)
         feats = self._extract_fns[agent_id](img)
         frame = steps.FrameObs(uv=feats.uv, level=feats.level,
                                angle=feats.angle, desc=feats.desc,
