@@ -156,14 +156,20 @@ def _sync(x):
     return float(jnp.sum(leaves[0].astype(jnp.float32).ravel()[:1]))
 
 
-def _time_it(fn, n=10):
+def _time_it(fn, n=10, k=3):
+    """Best of ``k`` trial means of ``n`` amortized reps — the min is
+    robust to the tunneled backend's multi-second stalls (a single
+    stalled rep inflated a mean-based sweep 600x in testing)."""
     out = fn()  # warmup/compile
     _sync(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn()
-    _sync(out)
-    return (time.perf_counter() - t0) / n * 1000.0
+    best = float("inf")
+    for _ in range(k):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn()
+        _sync(out)
+        best = min(best, (time.perf_counter() - t0) / n * 1000.0)
+    return best
 
 
 def _synthetic_arena(n_kf=64, n_pt=12288, n_feat=512, seed=0):

@@ -792,6 +792,7 @@ class LoopServer:
                     T_an = lie.sim3_compose(T_a, S_12)
                     a.q = lie.quat_normalize(T_an.q)
                     a.t = T_an.t / jnp.maximum(T_an.s, 1e-9)
+                    a.dev_chain = None  # host pose diverged from chain
 
         # weld: fuse duplicate points around the seam, refresh, then the
         # merge-welding BA (adjust = absorbed-side window, fix =

@@ -163,20 +163,31 @@ def _compiled(cfg: SlamConfig, kind: int):
         return mask & ms.mp_valid
 
     @jax.jit
-    def track_frame_step(ms, frame, ref_kf, q_pred, t_pred, q_last,
-                         t_last, cam_params):
+    def track_frame_step(ms, frame, ref_kf, vel_q, vel_t, has_vel,
+                         q_last, t_last, q_ext, t_ext, use_ext,
+                         cam_params):
         """The whole per-frame tracking pipeline as ONE device program:
-        local-map mask -> coarse motion-model projection match + pose opt
-        -> in-device widened retry (``lax.cond``, reference widens 2x on
-        <20 matches) -> fine re-match + pose opt from the refined pose ->
-        keep-best -> found/visible stat deltas -> velocity and ref-KF-
-        relative pose for the trajectory writer.
+        constant-velocity (or externally supplied, e.g. IMU) pose
+        prediction -> local-map mask -> coarse motion-model projection
+        match + pose opt -> in-device widened retry (``lax.cond``,
+        reference widens 2x on <20 matches) -> fine re-match + pose opt
+        from the refined pose -> keep-best -> found/visible stat deltas
+        -> velocity and ref-KF-relative pose for the trajectory writer.
 
-        Host cost per frame: one dispatch + one 24-float fetch, instead
-        of ~5 separate programs plus dozens of eager small-op dispatches
-        (each a host->device roundtrip on the tunneled backend — the
-        difference between ~50 and >100 sustained fps)."""
+        Besides the packed ``vec`` for the host, the step returns the
+        next frame's chain state (pose + velocity, failure-healed to the
+        prediction) as DEVICE arrays, so consecutive frames chain
+        device-to-device with no host readback in between — the host
+        state machine consumes ``vec`` lazily (SlamSystem.pipeline)."""
         cam = cam_mod.Camera(cam_params, kind)
+        # prediction: external pose if use_ext, else constant velocity
+        q_cv, t_cv = (lambda v: (v.q, v.t))(lie.se3_compose(
+            lie.SE3(vel_q, vel_t), lie.SE3(q_last, t_last)))
+        q_pred = jnp.where(use_ext, q_ext,
+                           jnp.where(has_vel, q_cv, q_last))
+        t_pred = jnp.where(use_ext, t_ext,
+                           jnp.where(has_vel, t_cv, t_last))
+        q_pred = lie.quat_normalize(q_pred)
         local_mask = local_mp_mask(ms, ref_kf, 32)
 
         def _stage(q0, t0, th, ratio):
@@ -217,8 +228,19 @@ def _compiled(cfg: SlamConfig, kind: int):
             q, t, vel.q, vel.t, rel.q, rel.t,
             jnp.stack([n_in.astype(jnp.float32),
                        widened.astype(jnp.float32),
-                       n_m.astype(jnp.float32)])])
-        return ms2, feat_mp, inlier, visible, vec
+                       n_m.astype(jnp.float32)]),
+            q_pred, t_pred])
+        # chain state for the NEXT frame (device-resident): failed frames
+        # heal to the predicted pose with velocity/has_vel unchanged —
+        # exactly the host state machine's failure branch
+        okf = n_in >= cfg.min_track_inliers_lost
+        chain_q = jnp.where(okf, q, q_pred)
+        chain_t = jnp.where(okf, t, t_pred)
+        chain_vq = jnp.where(okf, vel.q, vel_q)
+        chain_vt = jnp.where(okf, vel.t, vel_t)
+        chain_has_vel = okf | has_vel
+        return (ms2, feat_mp, inlier, visible, vec,
+                (chain_q, chain_t, chain_vq, chain_vt, chain_has_vel))
 
     @jax.jit
     def track_ref_kf(ms, frame, ref_kf, q0, t0, cam_params):
@@ -663,9 +685,14 @@ class AgentState:
     # tracking step (trajectory writer uses it without device math);
     # None on frames that didn't run the fused success path
     last_rel: Optional[tuple] = None
-    # deferred per-frame result awaiting its state-machine pass
-    # (SlamSystem.pipeline mode)
-    pending: Optional[dict] = None
+    # deferred per-frame results awaiting their state-machine pass, in
+    # dispatch order (SlamSystem.pipeline mode; length <= pipeline_depth)
+    pending_q: List = field(default_factory=list)
+    # device-resident (q, t, vel_q, vel_t, has_vel) chain feeding the
+    # next frame's in-device prediction without any host readback; None
+    # => next dispatch uploads the host-side pose (after reloc / map
+    # switch / rescue, where the host view diverges from the chain)
+    dev_chain: Optional[tuple] = None
     last_frame: Optional[steps.FrameObs] = None
     last_feat_mp: Optional[jnp.ndarray] = None
     init_frame: Optional[steps.FrameObs] = None
@@ -717,11 +744,14 @@ class SlamSystem:
         # it before wiring new-KF observations
         self.ms_epoch = 0
         # pipelined tracking: defer each frame's result fetch + state
-        # machine to the NEXT track() call so the (possibly high-latency)
-        # D2H readback overlaps useful work.  track() then returns the
-        # PREVIOUS frame's state — a one-frame-lagged view; call drain()
-        # before reading final poses/trajectories.
+        # machine by up to ``pipeline_depth`` frames so the D2H readback
+        # overlaps useful work (consecutive frames chain their pose
+        # prediction device-to-device).  track() then returns a lagged
+        # state view; call drain() before reading final poses /
+        # trajectories.  Depth 1 = classic one-frame lag; deeper depths
+        # hide multi-roundtrip link latencies entirely.
         self.pipeline = False
+        self.pipeline_depth = 1
         self.async_mapping = async_mapping
         self._worker_error = None
         # mapping jobs queued or being processed by the worker — the
@@ -831,9 +861,12 @@ class SlamSystem:
             err, self._worker_error = self._worker_error, None
             raise err
         a = self.agents[agent_id]
-        if a.pending is not None:
+        # complete deferred frames down to the lag bound (deterministic:
+        # oldest-first whenever the queue is at depth)
+        while len(a.pending_q) >= max(self.pipeline_depth, 1):
             self._complete_pending(a)
         if a.state in (NO_IMAGES_YET, NOT_INITIALIZED):
+            self.drain_agent(a)
             a.last_rel = None
             self._monocular_initialization(a, frame, ts)
             self._post_frame(a, frame, ts, t0)
@@ -852,20 +885,23 @@ class SlamSystem:
         a.last_ts = ts
 
     def _complete_pending(self, a: AgentState):
-        """Finish the deferred state machine of the previous frame
-        (pipelined mode): fetch its packed result — the D2H copy has been
-        in flight since dispatch — and run decisions/bookkeeping."""
-        pend, a.pending = a.pending, None
+        """Finish the deferred state machine of the OLDEST in-flight
+        frame (pipelined mode): fetch its packed result — the D2H copy
+        has been in flight since dispatch — and run decisions."""
+        pend = a.pending_q.pop(0)
         a.last_rel = None
         self._finish_frame(a, pend)
         self._post_frame(a, pend["frame"], pend["ts"], pend["t0"])
 
+    def drain_agent(self, a: AgentState):
+        while a.pending_q:
+            self._complete_pending(a)
+
     def drain(self):
-        """Complete every agent's pending pipelined frame (call before
+        """Complete every agent's pending pipelined frames (call before
         reading trajectories/poses or shutting down)."""
         for a in self.agents:
-            if a.pending is not None:
-                self._complete_pending(a)
+            self.drain_agent(a)
 
     @staticmethod
     def _default_imu_calib():
@@ -1062,45 +1098,63 @@ class SlamSystem:
         # epoch-equality check in _create_keyframe fails conservatively
         # (never the reverse, which would wire stale feat_mp indices into
         # a post-mapping map).
+        # external (IMU) prediction needs the host's CURRENT pose — in
+        # pipelined mode complete all in-flight frames first (inertial
+        # tracking opts into the low-latency path)
+        use_imu = (imu is not None and a.q is not None
+                   and a.last_ts is not None and a.imu_initialized
+                   and a.imu_init_map == a.map_id)
+        if use_imu:
+            self.drain_agent(a)
+
         snap_epoch = self.ms_epoch
         ms = self.ms
-        q_last = np.asarray(a.q, np.float32)
-        t_last = np.asarray(a.t, np.float32)
-        # pose prediction: IMU navigation state when measurements are
-        # provided AND the mono-inertial initialization for this map has
-        # run (gravity/scale/bias estimated — reference gates
-        # PredictStateIMU on Map::isImuInitialized); else constant
-        # velocity — host-side numpy so no per-frame device chatter
-        if (imu is not None and a.q is not None and a.last_ts is not None
-                and a.imu_initialized and a.imu_init_map == a.map_id):
-            q_pred, t_pred = self._imu_predict(a, imu, ts - a.last_ts)
-            q_pred = np.asarray(q_pred, np.float32)
-            t_pred = np.asarray(t_pred, np.float32)
-        elif a.vel_q is not None:
-            q_pred, t_pred = _se3_compose_np(
-                np.asarray(a.vel_q, np.float32),
-                np.asarray(a.vel_t, np.float32), q_last, t_last)
+        id_q = np.array([1, 0, 0, 0], np.float32)
+        zero3 = np.zeros(3, np.float32)
+        if use_imu:
+            q_ext, t_ext = self._imu_predict(a, imu, ts - a.last_ts)
+            q_ext = np.asarray(q_ext, np.float32)
+            t_ext = np.asarray(t_ext, np.float32)
         else:
-            q_pred, t_pred = q_last, t_last
+            q_ext, t_ext = id_q, zero3
 
-        # the whole per-frame pipeline (local mask, coarse match+pose,
-        # in-device widened retry, fine match+pose, stat deltas, velocity
-        # + ref-relative pose) in ONE dispatch + one 24-float fetch
-        ms2, feat_mp, inlier, visible, vec = self.fns["track_frame_step"](
-            ms, frame, jnp.asarray(max(a.ref_kf, 0)), q_pred, t_pred,
-            q_last, t_last, a.cam.params)
+        # chain state: device-resident from the previous step when the
+        # host view hasn't diverged, else uploaded from the host pose
+        if a.dev_chain is not None:
+            q_last, t_last, vel_q, vel_t, has_vel = a.dev_chain
+        else:
+            q_last = np.asarray(a.q, np.float32)
+            t_last = np.asarray(a.t, np.float32)
+            if a.vel_q is not None:
+                vel_q = np.asarray(a.vel_q, np.float32)
+                vel_t = np.asarray(a.vel_t, np.float32)
+                has_vel = True
+            else:
+                vel_q, vel_t, has_vel = id_q, zero3, False
+
+        # the whole per-frame pipeline (prediction, local mask, coarse
+        # match+pose, in-device widened retry, fine match+pose, stat
+        # deltas, velocity + ref-relative pose) in ONE dispatch
+        (ms2, feat_mp, inlier, visible, vec,
+         chain) = self.fns["track_frame_step"](
+            ms, frame, jnp.asarray(max(a.ref_kf, 0)),
+            vel_q, vel_t, jnp.asarray(has_vel) if isinstance(has_vel, bool)
+            else has_vel,
+            q_last, t_last, q_ext, t_ext, jnp.asarray(use_imu),
+            a.cam.params)
+        a.dev_chain = chain
         pend = dict(ms=ms, ms2=ms2, feat_mp=feat_mp, inlier=inlier,
                     visible=visible, vec=vec, frame=frame, ts=ts,
-                    imu=imu, snap_epoch=snap_epoch, q_pred=q_pred,
-                    t_pred=t_pred, q_last=q_last, t_last=t_last, t0=t0)
+                    imu=imu, snap_epoch=snap_epoch, t0=t0,
+                    ref_kf=max(a.ref_kf, 0))
         if self.pipeline:
-            # defer the fetch + state machine to the next track() call;
-            # start the D2H copy now so it overlaps host work
+            # defer the fetch + state machine; start the D2H copy now so
+            # it rides the link while later frames dispatch
             try:
                 vec.copy_to_host_async()
             except Exception:
                 pass
-            a.pending = pend
+            a.pending_q.append(pend)
             return
         self._finish_frame(a, pend)
 
@@ -1111,8 +1165,9 @@ class SlamSystem:
         ts = pend["ts"]
         imu = pend["imu"]
         snap_epoch = pend["snap_epoch"]
-        q_pred, t_pred = pend["q_pred"], pend["t_pred"]
-        q_last, t_last = pend["q_last"], pend["t_last"]
+        # sequential finishes: the host pose IS the previous frame's pose
+        q_last = np.asarray(a.q, np.float32)
+        t_last = np.asarray(a.t, np.float32)
         ms2, feat_mp, inlier, visible = (pend["ms2"], pend["feat_mp"],
                                          pend["inlier"], pend["visible"])
         vec = np.asarray(pend["vec"])
@@ -1120,6 +1175,7 @@ class SlamSystem:
         vel_q, vel_t = vec[7:11], vec[11:14]
         q_rel, t_rel = vec[14:18], vec[18:21]
         n_in_i = int(vec[21])
+        q_pred, t_pred = vec[24:28], vec[28:31]
         if vec[22]:  # widened-retry telemetry
             a.n_fallback += 1
 
@@ -1132,18 +1188,20 @@ class SlamSystem:
             # Relocalization (Tracking.cc:1903-1951), which is what
             # enables cross-map re-entry.  Rare — extra dispatches ok.
             feat_mp_r, q_r, t_r, inlier_r, n_r, n_bow = self.fns[
-                "track_ref_kf"](ms, frame, jnp.asarray(a.ref_kf),
+                "track_ref_kf"](ms, frame, jnp.asarray(pend["ref_kf"]),
                                 q_last, t_last, a.cam.params)
             if int(n_bow) >= 15 and int(n_r) > n_in_i and int(n_r) >= 10:
                 feat_mp, inlier = feat_mp_r, inlier_r
                 q = np.asarray(q_r, np.float32)
                 t = np.asarray(t_r, np.float32)
                 n_in_i = int(n_r)
+                a.dev_chain = None  # host pose diverges from the chain
                 # recompute velocity + ref-relative pose host-side
+                # (same ref as the dispatch-time rel labeling)
                 iq, it = _se3_inverse_np(q_last, t_last)
                 vel_q, vel_t = _se3_compose_np(q, t, iq, it)
-                rq = np.asarray(ms.kf_q[a.ref_kf], np.float32)
-                rt = np.asarray(ms.kf_t[a.ref_kf], np.float32)
+                rq = np.asarray(ms.kf_q[pend["ref_kf"]], np.float32)
+                rt = np.asarray(ms.kf_t[pend["ref_kf"]], np.float32)
                 irq, irt = _se3_inverse_np(rq, rt)
                 q_rel, t_rel = _se3_compose_np(q, t, irq, irt)
 
@@ -1155,8 +1213,17 @@ class SlamSystem:
                     ("stats", snap_epoch, (feat_mp, inlier, visible)))
             except Exception:
                 pass  # queue full: drop the delta (pure heuristic)
-        else:
+        elif self.ms is ms:
+            # no structural mutation since this frame's snapshot: the
+            # stats-applied ms2 is the current state plus the deltas
             self.ms = ms2
+        elif snap_epoch == self.ms_epoch:
+            # same structure, different array contents (pose updates):
+            # re-apply the deltas on the live state
+            self.ms = self.fns["update_found_visible"](self.ms, feat_mp,
+                                                       inlier, visible)
+        # else: deferred frame's snapshot is structurally stale (a KF /
+        # mapping epoch landed in between) — drop the heuristic deltas
 
         threshold = (cfg.min_track_inliers if a.state == OK
                      else cfg.min_track_inliers_lost)
@@ -1197,7 +1264,9 @@ class SlamSystem:
                 np.array([q[0], -q[1], -q[2], -q[3]], np.float32), t)
             a.vel_w = (C_new - C_old) / (ts - a.last_ts)
         a.q, a.t = q, t
-        a.last_rel = (q_rel, t_rel)
+        # the relative pose is wrt the DISPATCH-time reference KF (the
+        # live a.ref_kf may have advanced under pipelined lag)
+        a.last_rel = (q_rel, t_rel, pend["ref_kf"])
         a.last_feat_mp = feat_mp
         a.frames_since_kf += 1
         if imu is not None:
@@ -1275,6 +1344,7 @@ class SlamSystem:
             new_map = int(ms.kf_map[cand])
             a.q, a.t = q, t
             a.vel_q, a.vel_t = None, None
+            a.dev_chain = None  # host pose replaced — re-seed the chain
             a.ref_kf = cand
             a.last_feat_mp = feat_mp
             a.frames_lost = 0
@@ -1297,6 +1367,7 @@ class SlamSystem:
         a.q = None
         a.t = None
         a.vel_q, a.vel_t = None, None
+        a.dev_chain = None
         a.ref_kf = -1
         a.frames_lost = 0
         self.events.append(
@@ -1366,12 +1437,18 @@ class SlamSystem:
             a.ref_kf = kf
             # the new KF's pose IS this frame's pose -> rel = identity
             a.last_rel = (np.array([1, 0, 0, 0], np.float32),
-                          np.zeros(3, np.float32))
+                          np.zeros(3, np.float32), kf)
             a.ref_kf_tracked = int((np.asarray(feat_mp_in) >= 0).sum())
             self._pending_mapping += 1
             self._jobs.put(("mapping", a.agent_id, kf))
             return
 
+        if (self.pipeline and snap_epoch is not None
+                and snap_epoch != self.ms_epoch):
+            # this (deferred) frame's feat_mp indexes a structurally
+            # stale snapshot — refuse, like the async back-pressure
+            a.kf_insertions_refused += 1
+            return
         ms, kf = self.fns["add_kf_step"](
             self.ms, frame, a.q, a.t, feat_mp_in, a.agent_id, a.map_id, ts,
             a.next_agent_kf_id, a.cam.params)
@@ -1381,11 +1458,13 @@ class SlamSystem:
         a.frames_since_kf = 0
         a.ref_kf = kf
         a.last_rel = (np.array([1, 0, 0, 0], np.float32),
-                      np.zeros(3, np.float32))
+                      np.zeros(3, np.float32), kf)
         a.ref_kf_tracked = int((np.asarray(feat_mp_in) >= 0).sum())
         self._local_mapping(a, kf)
+        self.ms_epoch += 1
         if self.server is not None:
             self.server.process_keyframe(a.agent_id, kf)
+            self.ms_epoch += 1
 
     def _run_mapping_epoch(self, kf, map_id):
         """Dispatch the mapping epoch: ONE fused program by default, or
@@ -1484,7 +1563,7 @@ class SlamSystem:
         numpy (rare frames only)."""
         ref = a.ref_kf
         if a.last_rel is not None:
-            q_rel, t_rel = a.last_rel
+            q_rel, t_rel, ref = a.last_rel
         else:
             rq = np.asarray(self.ms.kf_q[ref], np.float32)
             rt = np.asarray(self.ms.kf_t[ref], np.float32)

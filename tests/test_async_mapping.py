@@ -160,3 +160,43 @@ def test_pipelined_tracking_matches_sync():
     # trajectories cover the same frames after drain
     assert len(s_pipe.agents[0].trajectory) == \
         len(s_sync.agents[0].trajectory)
+
+
+def test_deep_pipelined_tracking_quality():
+    """Depth-4 pipeline (device-chained prediction, state machine lagged
+    up to 4 frames — hides multi-roundtrip link latency): decisions land
+    late so the run is NOT bit-identical to sync, but tracking quality
+    and map structure must hold up."""
+    world = SyntheticWorld(seed=0)
+    poses = make_trajectory(60)
+    cam = cameras.make_pinhole(FX, FY, CX, CY)
+    frames = [world.render(R, t)[0] for R, t in poses]
+
+    sys_ = SlamSystem(_cfg(), cam)
+    sys_.pipeline = True
+    sys_.pipeline_depth = 4
+    aid = sys_.add_agent()
+    for i, frame in enumerate(frames):
+        sys_.track(aid, frame, ts=float(i))
+    sys_.flush()
+
+    a = sys_.agents[aid]
+    assert a.state == OK
+    assert int(sys_.ms.n_kf) >= 3
+    # init frames (no pose yet) don't record rows
+    assert len(a.trajectory) >= len(frames) - 8
+    # trajectory accuracy unaffected by the lagged state machine
+    est, gt = [], []
+    ts_to_pose = {float(i): p for i, p in enumerate(poses)}
+    for ts, qw, tw, state in sys_.trajectory_world(aid):
+        if state != OK:
+            continue
+        R, t = ts_to_pose[ts]
+        gt.append(-R.T @ t)
+        est.append(tw)
+    est, gt = np.array(est), np.array(gt)
+    assert len(est) > 40
+    aligned = umeyama_align(est, gt)
+    ate = np.sqrt(((aligned - gt) ** 2).sum(-1).mean())
+    span = np.linalg.norm(gt.max(0) - gt.min(0))
+    assert ate / span < 0.03, f"ATE {ate:.4f} over span {span:.3f}"
