@@ -104,9 +104,17 @@ ORBextractor.minThFAST: 7
                 max_kf=128, max_mp=16384, n_levels=4,
                 min_init_matches=80, kf_max_interval=8,
                 cam_kind=cam_mod.KANNALA_BRANDT8),
-            server_config=ServerConfig())
+            server_config=ServerConfig(),
+            # mapping + server on the worker thread (reference
+            # LocalMapping/LoopClosing threads) — tracking never blocks
+            # on a KF epoch's fetches
+            async_mapping=True)
         aid = mas.add_agent(yaml_path)
         mas.sys.pipeline = True
+        # deep lag: D2H readbacks ride the link while later frames
+        # dispatch — sustained throughput approaches device time even
+        # at ~150 ms link roundtrips (state machine <=8 frames late)
+        mas.sys.pipeline_depth = 8
         return mas, aid
 
     # pre-stage frames on device (float32 as the extractor consumes)

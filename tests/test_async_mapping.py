@@ -200,3 +200,43 @@ def test_deep_pipelined_tracking_quality():
     ate = np.sqrt(((aligned - gt) ** 2).sum(-1).mean())
     span = np.linalg.norm(gt.max(0) - gt.min(0))
     assert ate / span < 0.03, f"ATE {ate:.4f} over span {span:.3f}"
+
+
+def test_async_plus_pipelined():
+    """Worker-threaded mapping/server combined with deep pipelined
+    tracking — the production configuration for high-latency links: the
+    tracking thread never blocks on mapping, the state machine lags
+    bounded, quality holds."""
+    world = SyntheticWorld(seed=0)
+    poses = make_trajectory(60)
+    cam = cameras.make_pinhole(FX, FY, CX, CY)
+    frames = [world.render(R, t)[0] for R, t in poses]
+
+    sys_ = SlamSystem(_cfg(), cam, async_mapping=True)
+    sys_.pipeline = True
+    sys_.pipeline_depth = 4
+    aid = sys_.add_agent()
+    for i, frame in enumerate(frames):
+        sys_.track(aid, frame, ts=float(i))
+        if i % 5 == 4:
+            sys_.flush()
+    sys_.flush()
+    sys_.shutdown()
+
+    a = sys_.agents[aid]
+    assert a.state == OK
+    assert int(sys_.ms.n_kf) >= 3
+    est, gt = [], []
+    ts_to_pose = {float(i): p for i, p in enumerate(poses)}
+    for ts, qw, tw, state in sys_.trajectory_world(aid):
+        if state != OK:
+            continue
+        R, t = ts_to_pose[ts]
+        gt.append(-R.T @ t)
+        est.append(tw)
+    est, gt = np.array(est), np.array(gt)
+    assert len(est) > 40
+    aligned = umeyama_align(est, gt)
+    ate = np.sqrt(((aligned - gt) ** 2).sum(-1).mean())
+    span = np.linalg.norm(gt.max(0) - gt.min(0))
+    assert ate / span < 0.03, f"ATE {ate:.4f} over span {span:.3f}"
