@@ -298,11 +298,13 @@ def seg_stages():
         ms, m, is2, cfg.lba_cam_cap, cfg.lba_pt_cap, with_cm=False))
     out["lba_build_ms"] = round(_time_it(lambda: bwp(ms, wmask)), 2)
     prob = bwp(ms, wmask)
+    # wide sweep: the 32-iteration delta (~55 ms) dwarfs per-dispatch
+    # tunnel jitter (±10-25 ms) that corrupted narrower sweeps
     t1 = _time_it(lambda: bw.run_window_ba_dense(prob, cfg.cam_kind,
-                                                 iters=1), n=8)
-    t8 = _time_it(lambda: bw.run_window_ba_dense(prob, cfg.cam_kind,
-                                                 iters=8), n=8)
-    out["lba_lm_iter_ms"] = round((t8 - t1) / 7.0, 2)
+                                                 iters=1), n=6)
+    t33 = _time_it(lambda: bw.run_window_ba_dense(prob, cfg.cam_kind,
+                                                  iters=33), n=6)
+    out["lba_lm_iter_ms"] = round((t33 - t1) / 32.0, 2)
 
     # ---- PGO at K=256 ----------------------------------------------------
     Kp = 256
@@ -338,10 +340,13 @@ def seg_stages():
         q, t, s_, fixed, edges, iters=20))
     p2 = jax.jit(lambda: pgo_mod.optimize_essential_graph(
         q, t, s_, fixed, edges, iters=2))
-    t20 = _time_it(lambda: p20(), n=8)
-    t2 = _time_it(lambda: p2(), n=8)
+    p80 = jax.jit(lambda: pgo_mod.optimize_essential_graph(
+        q, t, s_, fixed, edges, iters=80))
+    t80 = _time_it(lambda: p80(), n=4)
+    t20 = _time_it(lambda: p20(), n=6)
+    t2 = _time_it(lambda: p2(), n=6)
     out["pgo256_ms"] = round(t20, 2)
-    out["pgo_gn_iter_ms"] = round((t20 - t2) / 18.0, 2)
+    out["pgo_gn_iter_ms"] = round((t80 - t2) / 78.0, 2)
 
     # ---- internal consistency (round-3's harness failed these) ----------
     for k, v in out.items():
