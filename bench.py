@@ -111,10 +111,10 @@ ORBextractor.minThFAST: 7
             async_mapping=True)
         aid = mas.add_agent(yaml_path)
         mas.sys.pipeline = True
-        # deep lag: D2H readbacks ride the link while later frames
-        # dispatch — sustained throughput approaches device time even
-        # at ~150 ms link roundtrips (state machine <=8 frames late)
-        mas.sys.pipeline_depth = 8
+        # lag 4: D2H readbacks ride the link while later frames
+        # dispatch; deeper lags let KF decisions fall too far behind a
+        # fast orbit when the link is degraded
+        mas.sys.pipeline_depth = 4
         return mas, aid
 
     # pre-stage frames on device (float32 as the extractor consumes)
@@ -122,34 +122,53 @@ ORBextractor.minThFAST: 7
                   for f_ in frames_np]
     jax.block_until_ready(frames_dev[-1])
 
-    def run(mas, aid):
-        states = []
-        t0 = time.perf_counter()
-        for i, img in enumerate(frames_dev):
-            st, _ = mas.track_monocular(aid, img, i / 20.0)
-            states.append(st)
-        mas.sys.flush()
-        wall = time.perf_counter() - t0
-        return wall, states
-
+    # ONE system: frames 0..WARM-1 compile every per-frame / per-KF /
+    # server-PR program, frames WARM..N-1 are the timed sustained window
+    # (the tunneled worker hard-faults after ~4-5k dispatches, so a
+    # separate full warmup run + full timed run does not survive; this
+    # shape stays under the fault budget and is equally honest — every
+    # program in the timed window is warm)
+    WARM = 60
     mas, aid = build()
-    run(mas, aid)          # warmup: compiles every program incl. server
-    mas2, aid2 = build()   # fresh system, warm executables
-    wall, states = run(mas2, aid2)
+    states = []
+    for i in range(WARM):
+        st, _ = mas.track_monocular(aid, frames_dev[i], i / 20.0)
+        states.append(st)
+    mas.sys.flush()
+
+    per_frame = []
+    t0 = time.perf_counter()
+    for i in range(WARM, N):
+        f0 = time.perf_counter()
+        st, _ = mas.track_monocular(aid, frames_dev[i], i / 20.0)
+        per_frame.append(time.perf_counter() - f0)
+        states.append(st)
+    mas.sys.flush()
+    wall = time.perf_counter() - t0
+    n_timed = N - WARM
 
     ok = sum(1 for s in states if s == OK)
-    n_kf = int(np.asarray(mas2.sys.ms.kf_valid).sum())
-    loops = [e for e in mas2.server.events if e.startswith("LOOP")]
+    n_kf = int(np.asarray(mas.sys.ms.kf_valid).sum())
+    loops = [e for e in mas.server.events if e.startswith("LOOP")]
+    med = float(np.median(per_frame))
     out = {
-        "fps_full_system": round(N / wall, 2),
+        "fps_full_system": round(n_timed / wall, 2),
+        "fps_full_system_p50": round(1.0 / med, 2),
         "sustained_wall_s": round(wall, 2),
-        "sustained_frames": N,
+        "sustained_frames": n_timed,
         "sustained_ok_frac": round(ok / N, 3),
         "sustained_live_kfs": n_kf,
         "sustained_loop_closed": bool(loops),
         "tunnel_roundtrip_ms": round(rt_ms, 2),
     }
-    assert out["sustained_ok_frac"] > 0.8, out
+    if out["sustained_ok_frac"] <= 0.8:
+        # the run completed but tracking quality collapsed (typically:
+        # link roundtrips so long the mapping worker starves the map) —
+        # not a valid SLAM throughput number; publish it transparently
+        # as degraded and let the driver fall back to the derived fps
+        out = {("degraded_" + k if k.startswith(("fps", "sustained"))
+                else k): v for k, v in out.items()}
+        out["sustained_degraded"] = True
     print("SEGJSON" + json.dumps(out))
 
 
@@ -535,12 +554,23 @@ def main():
     sustained = _run_segment("sustained", timeout_s=3600)
 
     extra = dict(stages or {})
-    if sustained is not None:
+    if sustained is not None and not sustained.get("sustained_degraded"):
         extra.update(sustained)
         fps = sustained["fps_full_system"]
-        unit = ("frames/s sustained wall-clock (240-frame rendered "
-                "480x480 KB8 seq end-to-end: extract+track+map+server, "
-                "1 chip, pipelined)")
+        unit = ("frames/s sustained wall-clock (rendered 480x480 KB8 "
+                "seq end-to-end: extract+track+map+server, 1 chip, "
+                "pipelined, warm)")
+    elif sustained is not None and stages is not None:
+        # degraded sustained run: publish its numbers transparently but
+        # use the stage-derived estimate as the headline
+        extra.update(sustained)
+        t_frame = 1.0 / max(extra.get("tracking_frontend_fps", 1.0), 1.0)
+        t_kf = extra.get("mapping_kf_ms", 1e9) / 1e3
+        fps = round(1.0 / (t_frame + t_kf / 8.0), 2)
+        extra["fps_full_system"] = fps
+        unit = ("frames/s DERIVED (front end + mapping/8; the sustained "
+                "run completed but degraded on link latency — its "
+                "numbers are in degraded_* keys)")
     elif stages is not None:
         # the sustained subprocess died (tunneled-TPU worker fault):
         # fall back to the derived estimate and SAY SO
