@@ -105,10 +105,14 @@ ORBextractor.minThFAST: 7
                 min_init_matches=80, kf_max_interval=8,
                 cam_kind=cam_mod.KANNALA_BRANDT8),
             server_config=ServerConfig(),
-            # mapping + server on the worker thread (reference
-            # LocalMapping/LoopClosing threads) — tracking never blocks
-            # on a KF epoch's fetches
-            async_mapping=True)
+            # SYNCHRONOUS mapping: an unthrottled feed outruns the
+            # worker thread (KF insertions get refused while mapping is
+            # busy, the map thins, tracking degrades — the reference
+            # degrades the same way when the camera outpaces
+            # LocalMapping).  The sustained-throughput number must be
+            # the rate the system consumes frames WITH quality intact,
+            # so tracking pays for its mapping epochs inline.
+            async_mapping=False)
         aid = mas.add_agent(yaml_path)
         mas.sys.pipeline = True
         # lag 4: D2H readbacks ride the link while later frames
