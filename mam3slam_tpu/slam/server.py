@@ -156,8 +156,13 @@ class LoopServer:
         valid = ms.kf_feat_valid[kf]
         bits = M.unpack_desc(desc)
         words = bow.quantize(self.voc, bits)
+        # ONE packed fetch (each separate np.asarray is a full link
+        # roundtrip — at degraded tunnel latencies the server's scattered
+        # fetches dominated the whole per-KF cost)
+        wv = np.asarray(jnp.stack([jnp.asarray(words, jnp.int32),
+                                   valid.astype(jnp.int32)]))
         uw, vals = bow.sparse_bow_row(
-            self.voc, np.asarray(words), np.asarray(valid),
+            self.voc, wv[0], wv[1].astype(bool),
             self.kf_bow_words.shape[1])
         self.kf_bow_words[kf] = uw
         self.kf_bow_vals[kf] = vals
@@ -194,9 +199,13 @@ class LoopServer:
             if self.gba.finish():
                 self.events.append("GBA applied")
         ms = self.sys.ms
-        kf_map = int(ms.kf_map[kf])
-        n_in_map = int((np.asarray(ms.kf_valid)
-                        & (np.asarray(ms.kf_map) == kf_map)).sum())
+        hdr = np.asarray(jnp.stack([
+            ms.kf_map[kf],
+            jnp.sum((ms.kf_valid
+                     & (ms.kf_map == ms.kf_map[kf])).astype(jnp.int32)),
+        ]))
+        kf_map = int(hdr[0])
+        n_in_map = int(hdr[1])
         if n_in_map < self.cfg.min_kfs_in_map:
             return None
 
@@ -244,16 +253,24 @@ class LoopServer:
         scores = bow.l1_scores_sparse(q_dense, db_words,
                                       jnp.asarray(self.kf_bow_vals))
         shared = bow.shared_words_sparse(q_dense, db_words)
-        covis_row = np.asarray(ms.covis[kf])
-        kf_valid = np.asarray(ms.kf_valid)
-        eligible = (kf_valid & (covis_row == 0)
-                    & (np.arange(len(kf_valid)) != kf))
-        same_map = np.asarray(ms.kf_map) == int(ms.kf_map[kf])
+        K = ms.kf_valid.shape[0]
+        eligible_dev = (ms.kf_valid & (ms.covis[kf] == 0)
+                        & (jnp.arange(K) != kf))
         reps, acc, ok = bow.detect_candidates_grouped(
-            scores, shared, jnp.asarray(eligible), ms.covis,
+            scores, shared, eligible_dev, ms.covis,
             n_out=3 * cfg.n_candidates)
+        # ONE packed fetch: per-arena rows + the grouped candidates
+        pk = np.asarray(jnp.concatenate([
+            ms.kf_valid.astype(jnp.int32),
+            (ms.kf_map == ms.kf_map[kf]).astype(jnp.int32),
+            jnp.asarray(reps, jnp.int32),
+            jnp.asarray(ok, jnp.int32)]))
+        kf_valid = pk[:K].astype(bool)
+        same_map = pk[K:2 * K].astype(bool)
+        reps_np = pk[2 * K:2 * K + reps.shape[0]]
+        ok_np = pk[2 * K + reps.shape[0]:].astype(bool)
         loop_c, merge_c, seen = [], [], set()
-        for r, o in zip(np.asarray(reps), np.asarray(ok)):
+        for r, o in zip(reps_np, ok_np):
             if not o:
                 break
             r = int(r)
