@@ -322,11 +322,16 @@ def seg_stages():
     out["lba_build_ms"] = round(_time_it(lambda: bwp(ms, wmask)), 2)
     prob = bwp(ms, wmask)
     # wide sweep: the 32-iteration delta (~55 ms) dwarfs per-dispatch
-    # tunnel jitter (±10-25 ms) that corrupted narrower sweeps
-    t1 = _time_it(lambda: bw.run_window_ba_dense(prob, cfg.cam_kind,
-                                                 iters=1), n=6)
-    t33 = _time_it(lambda: bw.run_window_ba_dense(prob, cfg.cam_kind,
-                                                  iters=33), n=6)
+    # tunnel jitter (±10-25 ms) that corrupted narrower sweeps.  Both
+    # sweep points MUST be jitted as one program: called eagerly,
+    # run_window_ba_dense executes op-by-op and every op pays a tunnel
+    # roundtrip, inflating the delta ~10x.
+    ba1 = jax.jit(lambda p_: bw.run_window_ba_dense(p_, cfg.cam_kind,
+                                                    iters=1))
+    ba33 = jax.jit(lambda p_: bw.run_window_ba_dense(p_, cfg.cam_kind,
+                                                     iters=33))
+    t1 = _time_it(lambda: ba1(prob), n=6)
+    t33 = _time_it(lambda: ba33(prob), n=6)
     out["lba_lm_iter_ms"] = round((t33 - t1) / 32.0, 2)
 
     # ---- PGO at K=256 ----------------------------------------------------
