@@ -162,3 +162,107 @@ def test_dist_window_ba_dense_matches_local():
     il = np.asarray(local.pm_inlier)
     idist = np.asarray(dist.pm_inlier)[: il.shape[0]]
     assert (il != idist).mean() < 0.02
+
+
+def test_dist_window_ba_psum_matches_local():
+    """Owner-partitioned psum-CG solver (one [Kc,6] psum per matvec — the
+    production distributed global-BA path) vs the single-device CG
+    solver: same problem, near-identical solution at 1 and 4 devices."""
+    from mam3slam_tpu.parallel import dist_window_ba as dwb
+    from mam3slam_tpu.solvers import ba_window as bw
+
+    q, t, pts, oc, op, ouv = make_scene(n_cams=6, n_pts=252, noise_px=0.5,
+                                        seed=7)
+    rng = np.random.default_rng(0)
+    qp, tp = q.copy(), t.copy()
+    tp[2:] += rng.normal(0, 0.05, tp[2:].shape)
+    ptsp = (pts + rng.normal(0, 0.08, pts.shape)).astype(np.float32)
+    cam_free = np.array([False, False] + [True] * (len(q) - 2))
+    cam_params = np.broadcast_to(CAM_PARAMS, (len(q), 8))
+    w = np.ones(len(oc), np.float32)
+
+    prob = dwb.window_problem_from_edges(
+        qp, tp, cam_params, ptsp, oc, op, ouv, w, cam_free,
+        np.ones(len(pts), bool))
+
+    local = bw.run_window_ba(prob, cameras.PINHOLE, iters=10, cg_iters=30)
+    P = len(pts)
+    for n in (1, 4):
+        mesh = Mesh(np.array(jax.devices()[:n]), ("shard",))
+        dist = dwb.dist_run_window_ba_psum(prob, mesh, cameras.PINHOLE,
+                                           iters=10, cg_iters=30)
+        np.testing.assert_allclose(np.asarray(dist.cam_t)[: len(q)],
+                                   np.asarray(local.cam_t)[: len(q)],
+                                   atol=5e-3)
+        np.testing.assert_allclose(np.asarray(dist.pts)[:P],
+                                   np.asarray(local.pts)[:P], atol=2e-2)
+        # point order is restored through the shard permutation
+        il = np.asarray(local.pm_inlier)[:P]
+        ip = np.asarray(dist.pm_inlier)[:P]
+        assert (il != ip).mean() < 0.02
+
+
+def test_compact_free_window_problem_matches():
+    """compact_free=True (camera block = free cams only) solves to the
+    same poses as the identity-compaction layout."""
+    from mam3slam_tpu.parallel import dist_window_ba as dwb
+    from mam3slam_tpu.solvers import ba_window as bw
+
+    q, t, pts, oc, op, ouv = make_scene(n_cams=6, n_pts=252, noise_px=0.5,
+                                        seed=7)
+    rng = np.random.default_rng(0)
+    qp, tp = q.copy(), t.copy()
+    tp[2:] += rng.normal(0, 0.05, tp[2:].shape)
+    ptsp = (pts + rng.normal(0, 0.08, pts.shape)).astype(np.float32)
+    cam_free = np.array([False, False] + [True] * (len(q) - 2))
+    cam_params = np.broadcast_to(CAM_PARAMS, (len(q), 8))
+    w = np.ones(len(oc), np.float32)
+
+    full = dwb.window_problem_from_edges(
+        qp, tp, cam_params, ptsp, oc, op, ouv, w, cam_free,
+        np.ones(len(pts), bool))
+    comp = dwb.window_problem_from_edges(
+        qp, tp, cam_params, ptsp, oc, op, ouv, w, cam_free,
+        np.ones(len(pts), bool), compact_free=True)
+    n_free = int(cam_free.sum())
+    assert comp.cam_q.shape[0] == n_free
+    # compact rows are the free cams, in order
+    np.testing.assert_array_equal(np.asarray(comp.cam_idx),
+                                  np.flatnonzero(cam_free))
+
+    rf = bw.run_window_ba_dense(full, cameras.PINHOLE, iters=10)
+    rc = bw.run_window_ba_dense(comp, cameras.PINHOLE, iters=10)
+    free_rows = np.flatnonzero(cam_free)
+    np.testing.assert_allclose(np.asarray(rc.cam_t)[:n_free],
+                               np.asarray(rf.cam_t)[free_rows], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(rc.pts), np.asarray(rf.pts),
+                               atol=1e-3)
+
+
+def test_dist_solve_dispatcher():
+    """dist_solve_window_ba routes small windows to the dense solver and
+    large free-cam counts to the psum-CG solver; both produce converged
+    results."""
+    from mam3slam_tpu.parallel import dist_window_ba as dwb
+
+    q, t, pts, oc, op, ouv = make_scene(n_cams=6, n_pts=252, noise_px=0.5,
+                                        seed=7)
+    rng = np.random.default_rng(0)
+    qp, tp = q.copy(), t.copy()
+    tp[2:] += rng.normal(0, 0.05, tp[2:].shape)
+    ptsp = (pts + rng.normal(0, 0.08, pts.shape)).astype(np.float32)
+    cam_free = np.array([False, False] + [True] * (len(q) - 2))
+    cam_params = np.broadcast_to(CAM_PARAMS, (len(q), 8))
+    w = np.ones(len(oc), np.float32)
+    prob = dwb.window_problem_from_edges(
+        qp, tp, cam_params, ptsp, oc, op, ouv, w, cam_free,
+        np.ones(len(pts), bool))
+    mesh = Mesh(np.array(jax.devices()[:2]), ("shard",))
+    # 4 free cams <= cap -> dense; force the psum branch with cap=0
+    r_dense = dwb.dist_solve_window_ba(prob, mesh, cameras.PINHOLE,
+                                       iters=10)
+    r_psum = dwb.dist_solve_window_ba(prob, mesh, cameras.PINHOLE,
+                                      iters=10, dense_free_cap=0)
+    np.testing.assert_allclose(np.asarray(r_psum.cam_t)[: len(q)],
+                               np.asarray(r_dense.cam_t)[: len(q)],
+                               atol=5e-3)
