@@ -94,6 +94,8 @@ ORBextractor.minThFAST: 7
 """)
         args.settings = [yaml_path]
         args.idle_exit_s = args.idle_exit_s or 5.0
+        if args.live_port is None:
+            args.live_port = 0  # auto port: the demo serves / and /map
 
     mas = api.MultiAgentSystem()
     buffers = {}
@@ -111,9 +113,24 @@ ORBextractor.minThFAST: 7
         print(f"TCP ingest on 127.0.0.1:{ingest.port}", flush=True)
 
     live = None
+    map_stop = threading.Event()
     if args.live_port is not None:
         live = MjpegServer(port=args.live_port)
-        print(f"live view on http://127.0.0.1:{live.port}/", flush=True)
+        print(f"live view on http://127.0.0.1:{live.port}/ "
+              f"(per-agent tracking; 3D map on /map)", flush=True)
+
+        def map_view_loop():
+            # live 3D map (reference MapDrawer window) re-rendered at
+            # ~1 Hz from the current functional MapState snapshot
+            while not map_stop.is_set():
+                try:
+                    live.publish("map", viewer.draw_map_image(
+                        mas.sys, server=mas.server, max_points=4000))
+                except Exception:
+                    pass
+                map_stop.wait(1.0)
+
+        threading.Thread(target=map_view_loop, daemon=True).start()
 
     if args.demo:
         def camera_client():
@@ -172,6 +189,7 @@ ORBextractor.minThFAST: 7
         print(f"agent {aid}: tracked {n_tracked[aid]} "
               f"(pushed {buf.n_pushed}, dropped {buf.n_dropped}) "
               f"state={mas.sys.agents[aid].state}")
+    map_stop.set()
     if ingest is not None:
         ingest.close()
     if live is not None:

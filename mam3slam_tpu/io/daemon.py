@@ -168,9 +168,12 @@ def watch_directory(path: str, buffers: Dict[int, LatestFrameBuffer],
 
 
 class MjpegServer:
-    """Live tracking view over plain HTTP (no display server needed):
+    """Live view over plain HTTP (no display server needed):
     ``GET /agent<k>`` streams multipart JPEG of the latest annotated
-    frame; ``GET /`` lists agents.  Update frames with ``publish``."""
+    tracking frame; ``GET /map`` streams the live 3D map view
+    (reference MapDrawer window, src/MapDrawer.cc:1-419 — publish
+    ``viewer.draw_map_image`` under the key ``"map"`` at ~1 Hz);
+    ``GET /`` lists all streams.  Update frames with ``publish``."""
 
     BOUNDARY = b"--mam3frame"
 
@@ -184,7 +187,8 @@ class MjpegServer:
         self.port = self._srv.getsockname()[1]
         threading.Thread(target=self._accept_loop, daemon=True).start()
 
-    def publish(self, agent: int, bgr_image: np.ndarray) -> None:
+    def publish(self, agent, bgr_image: np.ndarray) -> None:
+        """``agent``: an agent id (int) or the string key ``"map"``."""
         import cv2
 
         ok, jpg = cv2.imencode(".jpg", bgr_image,
@@ -220,10 +224,13 @@ class MjpegServer:
                 except ValueError:
                     agent = 0
                 self._stream(conn, agent)
+            elif path.startswith("/map"):
+                self._stream(conn, "map")
             else:
                 with self._cv:
-                    agents = sorted(self._frames)
+                    agents = sorted(self._frames, key=str)
                 body = ("<html><body>" + "".join(
+                    f'<h3>{a}</h3><img src="/map"/>' if a == "map" else
                     f'<h3>agent {a}</h3><img src="/agent{a}"/>'
                     for a in agents) + "</body></html>").encode()
                 conn.sendall(b"HTTP/1.0 200 OK\r\nContent-Type: "
@@ -231,7 +238,7 @@ class MjpegServer:
                              + str(len(body)).encode() + b"\r\n\r\n"
                              + body)
 
-    def _stream(self, conn: socket.socket, agent: int):
+    def _stream(self, conn: socket.socket, agent):
         conn.sendall(
             b"HTTP/1.0 200 OK\r\nContent-Type: multipart/x-mixed-replace;"
             b"boundary=" + self.BOUNDARY[2:] + b"\r\n\r\n")

@@ -15,12 +15,43 @@ from mam3slam_tpu.geometry import lie
 
 
 def render_map(system, path: str, server=None, max_points: int = 20000):
+    """3D map snapshot written to ``path`` (PNG)."""
+    import matplotlib
+    matplotlib.use("Agg")
+
+    fig = _map_figure(system, server=server, max_points=max_points)
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    import matplotlib.pyplot as plt
+    plt.close(fig)
+
+
+def draw_map_image(system, server=None, max_points: int = 20000,
+                   figsize=(7, 5.6), dpi: int = 80) -> np.ndarray:
+    """The 3D map view as a BGR ndarray — the live MapDrawer window's
+    headless twin (reference src/MapDrawer.cc:1-419 renders points, KF
+    frusta, covisibility graph and trajectories continuously;
+    ``MjpegServer`` streams this image at ~1 Hz on ``/map``)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = _map_figure(system, server=server, max_points=max_points,
+                      figsize=figsize)
+    fig.set_dpi(dpi)
+    fig.canvas.draw()
+    buf = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
+    plt.close(fig)
+    return buf[..., ::-1]  # RGB -> BGR for the cv2/MJPEG pipeline
+
+
+def _map_figure(system, server=None, max_points: int = 20000,
+                figsize=(10, 8)):
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     ms = system.ms
-    fig, ax = plt.subplots(figsize=(10, 8))
+    fig, ax = plt.subplots(figsize=figsize)
     mp_valid = np.asarray(ms.mp_valid)
     pos = np.asarray(ms.mp_pos)[mp_valid][:max_points]
     maps = np.asarray(ms.mp_map)[mp_valid][:max_points]
@@ -56,8 +87,7 @@ def render_map(system, path: str, server=None, max_points: int = 20000):
     ax.set_aspect("equal")
     ax.legend(loc="best", fontsize=8)
     ax.set_title(f"{int(kf_valid.sum())} KFs, {int(mp_valid.sum())} MPs")
-    fig.savefig(path, dpi=120, bbox_inches="tight")
-    plt.close(fig)
+    return fig
 
 
 _STATE_TEXT = {0: "WAITING FOR IMAGES", 1: "TRYING TO INITIALIZE",

@@ -121,6 +121,7 @@ class LoopServer:
         self.kf_bow_vals = None    # [K, F] f32
         self._pending_index: List[int] = []  # KFs awaiting vocab training
         self.events: List[str] = []
+        self.gba_runs: List[int] = []  # map ids GBA actually ran on
         self.timers = Timers()  # PR / LC / MM phase series (SURVEY §5)
         self._fns = {}
 
@@ -521,6 +522,7 @@ class LoopServer:
     def _run_gba(self, map_id: int):
         """Conditional full-map BA: synchronous epoch by default, or a
         background device program when cfg.async_gba."""
+        self.gba_runs.append(map_id)
         if self.cfg.async_gba:
             if self.gba is None:
                 from mam3slam_tpu.slam.background_gba import BackgroundGBA
@@ -637,8 +639,12 @@ class LoopServer:
         ms, _ = sysm.fns["fuse_step"](ms, jnp.asarray(kf), local_mask)
         ms = sysm.fns["refresh_stats"](ms, ms.mp_valid)
         sysm.ms = ms
-        # conditional global BA (reference :1766-1775: map < 200 KFs)
-        if int(np.asarray(in_map).sum()) < self.cfg.max_kf_for_gba:
+        # conditional global BA (reference LoopClosing.cc:1766-1775:
+        # map < 200 KFs AND the atlas holds a single map — a loop closed
+        # while other maps exist must not spend a GBA the reference
+        # would skip)
+        if (int(np.asarray(in_map).sum()) < self.cfg.max_kf_for_gba
+                and int(np.asarray(ms.map_valid).sum()) == 1):
             self._run_gba(kf_map)
         ms = sysm.ms
         self.events.append(

@@ -159,3 +159,56 @@ def test_mjpeg_live_view():
     sock.close()
     srv2.close()
     assert b"/agent0" in page
+
+
+def test_mjpeg_map_view():
+    """/map streams the live 3D map image published under the "map" key
+    (reference MapDrawer window, src/MapDrawer.cc:1-419)."""
+    srv = MjpegServer()
+    img = np.zeros((40, 60, 3), np.uint8)
+    img[10:20, 10:20] = 200
+
+    stop = threading.Event()
+
+    def pump():
+        i = 0
+        while not stop.is_set():
+            srv.publish("map", np.roll(img, i, axis=1))
+            i += 1
+            time.sleep(0.02)
+
+    th = threading.Thread(target=pump, daemon=True)
+    th.start()
+    try:
+        sock = socket.create_connection(("127.0.0.1", srv.port), timeout=5)
+        sock.sendall(b"GET /map HTTP/1.0\r\n\r\n")
+        sock.settimeout(5.0)
+        data = b""
+        t0 = time.time()
+        while data.count(b"\xff\xd8") < 2 and time.time() - t0 < 5.0:
+            chunk = sock.recv(65536)
+            if not chunk:
+                break
+            data += chunk
+        sock.close()
+    finally:
+        stop.set()
+        srv.close()
+    assert b"multipart/x-mixed-replace" in data
+    assert data.count(b"\xff\xd8") >= 2
+
+
+def test_draw_map_image_shape():
+    """draw_map_image returns a BGR uint8 ndarray of the live 3D map
+    (points + KFs + trajectories) without touching the filesystem."""
+    from mam3slam_tpu.geometry import cameras
+    from mam3slam_tpu.io import viewer
+    from mam3slam_tpu.slam.system import SlamConfig, SlamSystem
+
+    cfg = SlamConfig(width=64, height=64, n_feat=64, max_kf=8,
+                     max_mp=256, n_levels=2)
+    sys_ = SlamSystem(cfg, cameras.make_pinhole(40.0, 40.0, 32.0, 32.0))
+    sys_.add_agent()
+    img = viewer.draw_map_image(sys_)
+    assert img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8
+    assert img.shape[0] > 100 and img.shape[1] > 100

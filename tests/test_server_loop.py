@@ -109,3 +109,36 @@ def test_loop_closure_detected_and_corrected():
     ate = np.sqrt(((aligned - gt) ** 2).sum(axis=1).mean())
     # tour circumference ~34 m; demand ~1% ATE post-loop-closure
     assert ate < 0.4, ate
+
+
+def test_loop_in_multimap_atlas_skips_gba():
+    """Reference parity (LoopClosing.cc:1766-1775): the post-loop GBA
+    runs only when the map is small AND the atlas holds a single map.  A
+    loop closed while another map exists must correct via PGO but skip
+    the GBA (round-4 VERDICT weak #7)."""
+    world = RingWorld(seed=2)
+    cam = cameras.make_pinhole(FX, FY, CX, CY)
+    cfg = SlamConfig(width=W, height=H, n_feat=N_FEAT, max_kf=128,
+                     max_mp=8192, n_levels=4, kf_max_interval=8,
+                     min_init_matches=60)
+    sys_ = SlamSystem(cfg, cam)
+    aid = sys_.add_agent()
+    srv = LoopServer(sys_, ServerConfig(min_kfs_in_map=10, vocab_k=8,
+                                        vocab_depth=3))
+    sys_.server = srv
+
+    n_frames = 230
+    poses = circle_tour(n_frames)
+    for i, (R, t) in enumerate(poses):
+        if i == 40:
+            # a second (empty) atlas map appears — e.g. another agent
+            # initializing — before this agent's loop closes
+            sys_.ms = sys_.ms._replace(
+                map_valid=sys_.ms.map_valid.at[1].set(True))
+        f, _ = world.render(R, t)
+        sys_.track(aid, f, float(i))
+
+    loops = [e for e in srv.events if e.startswith("LOOP")]
+    assert loops, f"no loop closure; events={srv.events}"
+    assert srv.gba_runs == [], \
+        f"GBA ran in a multi-map atlas: {srv.gba_runs}"
