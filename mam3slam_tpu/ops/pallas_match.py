@@ -134,41 +134,44 @@ def fused_masked_match(bits_q, q_uv, q_radius, q_level, q_valid,
 # fused Hamming matmul + 2-min reduction over target tiles
 # ---------------------------------------------------------------------------
 
-def _minham2_kernel(q_ref, t_ref, tvalid_ref, d1_ref, d2_ref, idx_ref):
-    """One target tile: distances stay in VMEM; running (best, second,
-    argbest) carried in the revisited output refs across grid steps."""
+# Packed-key layout: comb = (pop_t + 512 - 2 dot) * 16384 + col, all
+# folded into ONE f32 matmul + one [1, TM] broadcast add.  Values stay
+# <= 768*16384 + 16383 < 2^24, so every comb is an EXACT f32 integer and
+# one min yields both the best distance and its index (ties -> lowest
+# col, identical to argmin).  Invalid/padded targets carry col = CINV.
+_SCALE = 16384.0
+_CINV = float(1 << 24)          # invalid-target key offset
+_CINV2 = float(1 << 26)         # mask value for the second-min pass
+
+
+def _minham2_kernel(qaug_ref, taug_ref, col_ref, m1_ref, m2_ref):
+    """One target tile: ONE MXU matmul produces the packed keys; the VPU
+    does exactly four element passes ([Q,TM] add, min, eq-mask, min) —
+    the previous formulation's popcount adds, argmin and masked re-min
+    made it VPU-bound at ~14% MXU."""
     j = pl.program_id(0)
-    q = q_ref[:]                                  # [Q, 256] bf16
-    t = t_ref[:]                                  # [TM, 256] bf16
-    dot = jax.lax.dot_general(
-        q, t, dimension_numbers=(((1,), (1,)), ((), ())),
+    acc = jax.lax.dot_general(
+        qaug_ref[:], taug_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)       # [Q, TM]  (MXU)
-    pop_q = jnp.sum(q.astype(jnp.float32), axis=1, keepdims=True)
-    pop_t = jnp.sum(t.astype(jnp.float32), axis=1, keepdims=True)
-    ham = pop_q + pop_t.T - 2.0 * dot
-    ham = jnp.where(tvalid_ref[:, 0:1].T > 0, ham, BIG)
-    tm = ham.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, ham.shape, 1)
-    d1n = jnp.min(ham, axis=1)
-    i1n = jnp.argmin(ham, axis=1).astype(jnp.int32)
-    d2n = jnp.min(jnp.where(col == i1n[:, None], BIG, ham), axis=1)
-    i1n = i1n + j * tm
+    comb = acc + col_ref[:]                       # packed value*S + col
+    m1n = jnp.min(comb, axis=1)
+    m2n = jnp.min(jnp.where(comb == m1n[:, None], _CINV2, comb), axis=1)
 
     @pl.when(j == 0)
     def _():
-        d1_ref[:] = d1n[:, None]
-        d2_ref[:] = d2n[:, None]
-        idx_ref[:] = i1n[:, None]
+        m1_ref[:] = m1n[:, None]
+        m2_ref[:] = m2n[:, None]
 
     @pl.when(j > 0)
     def _():
-        a1 = d1_ref[:, 0]
-        a2 = d2_ref[:, 0]
-        ai = idx_ref[:, 0]
-        d1_ref[:] = jnp.minimum(a1, d1n)[:, None]
-        d2_ref[:] = jnp.minimum(jnp.maximum(a1, d1n),
-                                jnp.minimum(a2, d2n))[:, None]
-        idx_ref[:] = jnp.where(d1n < a1, i1n, ai)[:, None]
+        a1 = m1_ref[:, 0]
+        a2 = m2_ref[:, 0]
+        m1_ref[:] = jnp.minimum(a1, m1n)[:, None]
+        # keys are globally unique, so the exact global second-best is
+        # min(max of the two firsts, min of the two seconds)
+        m2_ref[:] = jnp.minimum(jnp.maximum(a1, m1n),
+                                jnp.minimum(a2, m2n))[:, None]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tile_m"))
@@ -176,35 +179,58 @@ def min_hamming2(bits_q, bits_t, t_valid, interpret: bool = False,
                  tile_m: int = 2048):
     """Best + second-best Hamming distance of every query against ALL
     targets, fully fused: the [Q, M] distance matrix never leaves VMEM
-    (the XLA einsum+min path round-trips it through HBM — measured
-    bandwidth-bound at ~16% MXU; this kernel is the matcher's
-    speed-of-light core).  bits are unpacked 0/1 bf16 [*, 256].
+    (the XLA einsum+min path round-trips it through HBM).  bits are
+    unpacked 0/1 bf16 [*, 256].
+
+    The Hamming identity |q| + |t| - 2 q.t rides the MXU entirely: the
+    query operand is augmented with two scaled constant features and the
+    target operand with |t|+512 split into exact-bf16 hi/lo nibbles, so
+    the matmul emits (|t| + 512 - 2 q.t) * 16384 directly; a [1, TM]
+    broadcast add of (col | invalid-key) packs the index, and a single
+    min per tile recovers (distance, argmin) at once.  |q| is re-added
+    after decode (row-constant terms commute with min).
 
     Returns (idx [Q] i32, d1 [Q] f32, d2 [Q] f32); invalid targets get
-    distance BIG."""
+    distance BIG (idx is meaningful only when d1 < BIG)."""
     Q = bits_q.shape[0]
     Mt = bits_t.shape[0]
     pad_m = (-Mt) % tile_m
-    if pad_m:
-        bits_t = jnp.pad(bits_t, ((0, pad_m), (0, 0)))
-        t_valid = jnp.pad(t_valid, (0, pad_m))
     Mp = Mt + pad_m
     grid = (Mp // tile_m,)
 
-    d1, d2, idx = pl.pallas_call(
+    bq = bits_q.astype(jnp.bfloat16)
+    bt = bits_t.astype(jnp.bfloat16)
+    pop_q = jnp.sum(bits_q.astype(jnp.float32), axis=1)        # [Q]
+    pop_t = jnp.sum(bits_t.astype(jnp.float32), axis=1) + 512.0
+    hi = jnp.floor(pop_t / 16.0)          # <= 48: exact in bf16
+    lo = pop_t - hi * 16.0                # 0..15: exact in bf16
+    # K padded to 384 keeps the contraction MXU-aligned (128 multiple)
+    qaug = jnp.concatenate([
+        bq * jnp.bfloat16(-2.0 * _SCALE),
+        jnp.full((Q, 1), 16.0 * _SCALE, jnp.bfloat16),
+        jnp.full((Q, 1), _SCALE, jnp.bfloat16),
+        jnp.zeros((Q, 126), jnp.bfloat16)], axis=1)
+    taug = jnp.concatenate([
+        bt, hi[:, None].astype(jnp.bfloat16),
+        lo[:, None].astype(jnp.bfloat16),
+        jnp.zeros((Mt, 126), jnp.bfloat16)], axis=1)
+    if pad_m:
+        taug = jnp.pad(taug, ((0, pad_m), (0, 0)))
+    col = jnp.where(t_valid, jnp.arange(Mt, dtype=jnp.float32), _CINV)
+    col = jnp.pad(col, (0, pad_m), constant_values=_CINV)[None, :]
+
+    m1, m2 = pl.pallas_call(
         _minham2_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((Q, 256), lambda j: (0, 0),
+            pl.BlockSpec((Q, 384), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_m, 256), lambda j: (j, 0),
+            pl.BlockSpec((tile_m, 384), lambda j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_m, 1), lambda j: (j, 0),
+            pl.BlockSpec((1, tile_m), lambda j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((Q, 1), lambda j: (0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((Q, 1), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Q, 1), lambda j: (0, 0),
@@ -213,8 +239,18 @@ def min_hamming2(bits_q, bits_t, t_valid, interpret: bool = False,
         out_shape=[
             jax.ShapeDtypeStruct((Q, 1), jnp.float32),
             jax.ShapeDtypeStruct((Q, 1), jnp.float32),
-            jax.ShapeDtypeStruct((Q, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(bits_q, bits_t, t_valid[:, None].astype(jnp.float32))
-    return idx[:, 0], d1[:, 0], d2[:, 0]
+    )(qaug, taug, col)
+
+    def decode(m, with_idx):
+        m = m[:, 0]
+        v = jnp.floor(m / _SCALE)
+        d = jnp.where(m >= _CINV, BIG, v - 512.0 + pop_q)
+        if not with_idx:
+            return d
+        return d, (m - v * _SCALE).astype(jnp.int32)
+
+    d1, idx = decode(m1, True)
+    d2 = decode(m2, False)
+    return idx, d1, d2

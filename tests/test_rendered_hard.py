@@ -104,8 +104,8 @@ def test_rendered_kb8_loop(tmp_path):
     aid = mas.add_agent(str(yaml_path))
 
     states = []
-    for i, (R, t, C, q) in enumerate(traj):
-        img = scene.render(R, t, cam)
+    frames = render.render_sequence_cached(scene, traj, cam)
+    for i, img in enumerate(frames):
         st, _ = mas.track_monocular(aid, img, i / 20.0)
         states.append(st)
 
@@ -143,8 +143,9 @@ def test_rendered_photometric_loop(tmp_path):
     aid = mas.add_agent(str(yaml_path))
 
     states = []
-    for i, (R, t, C, q) in enumerate(traj):
-        img = photo.apply(scene.render(R, t, cam), i)
+    frames = render.render_sequence_cached(scene, traj, cam)
+    for i, img in enumerate(frames):
+        img = photo.apply(img.astype(np.float32), i)
         st, _ = mas.track_monocular(aid, img, i / 20.0)
         states.append(st)
 
@@ -188,8 +189,8 @@ def test_rendered_atlas_v103(tmp_path):
 
     states = []
     i = 0
-    for (R, t, C, q) in traj_a:
-        st, _ = mas.track_monocular(aid, scene.render(R, t, cam), i / 20.0)
+    for img in render.render_sequence_cached(scene, traj_a, cam):
+        st, _ = mas.track_monocular(aid, img, i / 20.0)
         states.append(st)
         i += 1
     for (R, t, C, q) in traj_dark:
@@ -199,8 +200,8 @@ def test_rendered_atlas_v103(tmp_path):
             i / 20.0)
         states.append(st)
         i += 1
-    for (R, t, C, q) in traj_b:
-        st, _ = mas.track_monocular(aid, scene.render(R, t, cam), i / 20.0)
+    for img in render.render_sequence_cached(scene, traj_b, cam):
+        st, _ = mas.track_monocular(aid, img, i / 20.0)
         states.append(st)
         i += 1
 
@@ -252,8 +253,8 @@ def test_rendered_kb8_full_operating_point(tmp_path):
     aid = mas.add_agent(str(yaml_path))
 
     states = []
-    for i, (R, t, C, q) in enumerate(traj):
-        img = scene.render(R, t, cam)
+    frames = render.render_sequence_cached(scene, traj, cam)
+    for i, img in enumerate(frames):
         st, _ = mas.track_monocular(aid, img, i / 20.0)
         states.append(st)
 

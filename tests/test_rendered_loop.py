@@ -71,8 +71,8 @@ def test_rendered_orbit_loop_closure(tmp_path):
     aid = mas.add_agent(str(yaml_path))
 
     states = []
-    for i, (R, t, C, q) in enumerate(traj):
-        img = scene.render(R, t, CAM)
+    frames = render.render_sequence_cached(scene, traj, CAM)
+    for i, img in enumerate(frames):
         st, _ = mas.track_monocular(aid, img, i / 20.0)
         states.append(st)
 

@@ -60,11 +60,11 @@ def test_rendered_interleaved_two_agent_merge(tmp_path):
     a1 = mas.add_agent(str(yaml_path))
 
     states = {a0: [], a1: []}
+    frames = {a0: render.render_sequence_cached(scene, traj0, CAM),
+              a1: render.render_sequence_cached(scene, traj1, CAM)}
     for i in range(N):
-        for aid, traj in ((a0, traj0), (a1, traj1)):
-            R, t, C, q = traj[i]
-            img = scene.render(R, t, CAM)
-            st, _ = mas.track_monocular(aid, img, i / 20.0)
+        for aid in (a0, a1):
+            st, _ = mas.track_monocular(aid, frames[aid][i], i / 20.0)
             states[aid].append(st)
 
     # both agents tracked essentially the whole interleaved run

@@ -150,9 +150,8 @@ def test_candidate_precision_10k_leaves_rendered(n_pass):
                                        360.0 + offset_deg - 360.0 / n_pass,
                                        radius=2.5)
         feats = []
-        for R, t, C, q in traj:
-            img = jnp.asarray(scene.render(R, t, cam))
-            f = extract(img)
+        for img in render.render_sequence_cached(scene, traj, cam):
+            f = extract(jnp.asarray(img, jnp.float32))
             feats.append((np.asarray(f.desc), np.asarray(f.valid)))
         return feats
 
