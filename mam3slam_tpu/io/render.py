@@ -317,14 +317,16 @@ def write_asl_sequence(seq_dir: str, scene: RoomScene,
 
 def render_sequence_cached(scene: RoomScene, traj, cam: RenderCam,
                            cache_dir: str = None) -> "np.ndarray":
-    """Rendered frame stack [N, H, W] uint8 with a DISK cache keyed by
+    """Rendered frame stack [N, H, W] float16 with a DISK cache keyed by
     (scene seed/geometry, camera intrinsics, trajectory poses).
 
     The slow test tier re-renders identical orbit sequences in every
     test and every run; one 240-frame 720x720 sequence costs tens of
     seconds of host CPU.  The cache (default
     ``$MAM3_RENDER_CACHE`` or ``~/.cache/mam3slam_renders``) is shared
-    across tests, processes, and rounds (VERDICT r4 #7).  Trajectory
+    across tests, processes, and rounds (VERDICT r4 #7).  Frames
+    are stored float16: uint8 quantization measurably perturbs FAST/BoW
+    margins (a KB8 loop test lost its LOOP detection).  Trajectory
     entries may be (R, t) or (R, t, C, q) tuples."""
     import hashlib
     import os
@@ -352,7 +354,7 @@ def render_sequence_cached(scene: RoomScene, traj, cam: RenderCam,
         except Exception:
             pass  # corrupt/partial file: re-render
     frames = np.stack([
-        scene.render(R, t, cam).astype(np.uint8)
+        scene.render(R, t, cam).astype(np.float16)
         for R, t in zip(Rs, ts)])
     try:
         os.makedirs(cache_dir, exist_ok=True)
