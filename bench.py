@@ -319,6 +319,12 @@ def seg_stages():
     import jax
     import jax.numpy as jnp
 
+    # the fused KB8 mapping-epoch program sporadically hard-faults the
+    # tunneled TPU worker (PARITY.md environment notes); the split-epoch
+    # dispatch is the documented workaround and what the sustained
+    # segment also runs
+    os.environ.setdefault("MAM3_SPLIT_EPOCH", "1")
+
     from mam3slam_tpu.geometry import lie
     from mam3slam_tpu.mapstate import state as S
     from mam3slam_tpu.ops import matching as M
