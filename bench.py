@@ -425,9 +425,16 @@ def seg_stages():
     ms_f, cfg_f, cam_f, fns_f = _synthetic_arena(fixture=True)
     kf_f = jnp.asarray(63)
     prot_f = jnp.asarray([63, -1], jnp.int32)
-    out["mapping_kf_fixture_ms"] = round(_time_it(
-        lambda: fns_f["mapping_epoch"](ms_f, kf_f, jnp.asarray(0),
-                                       prot_f)), 2)
+
+    def fixture_epoch():
+        # split front/tail dispatch — the production path on this
+        # backend (the FUSED KB8 epoch hard-faults the tunneled worker;
+        # PARITY.md environment notes).  Cost = fused + one dispatch.
+        ms2, counts = fns_f["mapping_epoch_front"](ms_f, kf_f,
+                                                   jnp.asarray(0))
+        return fns_f["mapping_epoch_tail"](ms2, kf_f, prot_f, counts)
+
+    out["mapping_kf_fixture_ms"] = round(_time_it(fixture_epoch), 2)
 
     # per-KF PR probe: quantize + sparse-row index + grouped detect on a
     # fully indexed 64-KF arena, plus one geometric verify miss — the
