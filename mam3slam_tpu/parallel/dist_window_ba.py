@@ -1003,3 +1003,34 @@ def _make_dense_runner(mesh: Mesh, kind: int, axis: str, iters: int,
                                pm_inlier=inlier, cost=bcost)
 
     return jax.jit(_run)
+
+
+# ---------------------------------------------------------------------------
+# production multi-chip GBA epoch
+# ---------------------------------------------------------------------------
+
+def dist_global_ba(ms, cfg, mesh: Mesh, map_id, kind: int,
+                   axis: str = "shard", iters: int = 10,
+                   dense_free_cap: int = 32):
+    """Multi-chip full-map BA epoch over ``mesh`` — the distributed form
+    of the server's synchronous GBA (``system._compiled.global_ba``;
+    reference ``RunGlobalBundleAdjustment``
+    /root/reference/src/LoopClosing.cc:3579 + src/Optimizer.cc:52).  Same
+    anchor/mask/build/write-back as the single-chip epoch; the solve goes
+    through ``dist_solve_window_ba`` (dense one-psum for small maps,
+    psum-CG for large ones).  Enable from the server with
+    ``ServerConfig.gba_mesh``.  Returns the updated MapState."""
+    import jax.numpy as jnp
+
+    from mam3slam_tpu.mapstate import state as S
+    from mam3slam_tpu.slam import steps
+
+    is2 = jnp.asarray(cfg.inv_sigma2)
+    in_map = ms.kf_valid & (ms.kf_map == jnp.asarray(map_id))
+    anchor1 = jnp.argmin(jnp.where(in_map, ms.kf_seq, S.BIG_SEQ))
+    opt_mask = in_map.at[anchor1].set(False)
+    prob = steps.build_window_problem(ms, opt_mask, is2, cfg.max_kf,
+                                      cfg.max_mp, with_cm=False)
+    res = dist_solve_window_ba(prob, mesh, kind, axis=axis, iters=iters,
+                               dense_free_cap=dense_free_cap)
+    return steps.apply_window_result(ms, prob, res)

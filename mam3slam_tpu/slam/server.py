@@ -87,6 +87,10 @@ class ServerConfig:
     # it completes (slam/background_gba.py)
     async_gba: bool = False
     max_kf_for_gba: int = 200
+    # run the conditional GBA as a DISTRIBUTED epoch over this
+    # jax.sharding.Mesh (parallel/dist_window_ba.dist_global_ba) —
+    # the multi-host production form; None = single-chip epoch
+    gba_mesh: Optional[object] = None
 
 
 @jax.jit
@@ -523,6 +527,12 @@ class LoopServer:
         """Conditional full-map BA: synchronous epoch by default, or a
         background device program when cfg.async_gba."""
         self.gba_runs.append(map_id)
+        if self.cfg.gba_mesh is not None:
+            from mam3slam_tpu.parallel import dist_window_ba as dwb
+            self.sys.ms = dwb.dist_global_ba(
+                self.sys.ms, self.sys.cfg, self.cfg.gba_mesh, map_id,
+                self.sys.cfg.cam_kind)
+            return
         if self.cfg.async_gba:
             if self.gba is None:
                 from mam3slam_tpu.slam.background_gba import BackgroundGBA

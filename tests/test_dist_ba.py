@@ -266,3 +266,45 @@ def test_dist_solve_dispatcher():
     np.testing.assert_allclose(np.asarray(r_psum.cam_t)[: len(q)],
                                np.asarray(r_dense.cam_t)[: len(q)],
                                atol=5e-3)
+
+
+def test_dist_global_ba_epoch_matches_single_chip():
+    """Production multi-chip GBA epoch (dist_global_ba on a live
+    MapState, ServerConfig.gba_mesh path) vs the single-chip global_ba
+    program: same anchor/mask/build/write-back, distributed solve."""
+    import jax.numpy as jnp
+
+    from mam3slam_tpu.parallel import dist_window_ba as dwb
+    from mam3slam_tpu.slam.system import OK, SlamConfig, SlamSystem
+    from test_slam_e2e import (FX, FY, CX, CY, H, N_FEAT, W,
+                               SyntheticWorld, make_trajectory)
+
+    world = SyntheticWorld(n_mp=600, seed=3)
+    cam = cameras.make_pinhole(FX, FY, CX, CY)
+    cfg = SlamConfig(width=W, height=H, n_feat=N_FEAT, max_kf=64,
+                     max_mp=4096, n_levels=4, min_init_matches=60)
+    sys_ = SlamSystem(cfg, cam)
+    aid = sys_.add_agent()
+    for i, (R, t) in enumerate(make_trajectory(40)):
+        f, _ = world.render(R, t)
+        st, _ = sys_.track(aid, f, float(i))
+    assert st == OK
+    ms0 = sys_.ms
+    map_id = sys_.agents[aid].map_id
+
+    local = sys_.fns["global_ba"](ms0, jnp.asarray(map_id))
+    mesh = Mesh(np.array(jax.devices()[:4]), ("shard",))
+    # dense branch (few free cams -> dispatcher picks the dense solver)
+    dist = dwb.dist_global_ba(ms0, cfg, mesh, map_id, cameras.PINHOLE)
+    kf_sel = np.asarray(ms0.kf_valid)
+    np.testing.assert_allclose(np.asarray(dist.kf_t)[kf_sel],
+                               np.asarray(local.kf_t)[kf_sel], atol=5e-3)
+    # psum-CG branch (forced): same solution within CG tolerance
+    dist2 = dwb.dist_global_ba(ms0, cfg, mesh, map_id, cameras.PINHOLE,
+                               dense_free_cap=0)
+    np.testing.assert_allclose(np.asarray(dist2.kf_t)[kf_sel],
+                               np.asarray(local.kf_t)[kf_sel], atol=2e-2)
+    mp_sel = np.asarray(ms0.mp_valid)
+    np.testing.assert_allclose(np.asarray(dist.mp_pos)[mp_sel],
+                               np.asarray(local.mp_pos)[mp_sel],
+                               atol=2e-2)
