@@ -117,20 +117,25 @@ ORBextractor.minThFAST: 7
     if args.live_port is not None:
         live = MjpegServer(port=args.live_port)
         print(f"live view on http://127.0.0.1:{live.port}/ "
-              f"(per-agent tracking; 3D map on /map)", flush=True)
+              f"(per-agent tracking; 3D map on /map, interactive "
+              f"rotate/zoom on /map3d)", flush=True)
 
         def map_view_loop():
             # live 3D map (reference MapDrawer window) re-rendered at
-            # ~1 Hz from the current functional MapState snapshot
+            # ~1 Hz from the current functional MapState snapshot; the
+            # JSON snapshot feeds the interactive /map3d browser viewer
             while not map_stop.is_set():
                 try:
                     live.publish("map", viewer.draw_map_image(
+                        mas.sys, server=mas.server, max_points=4000))
+                    live.publish_json("map", viewer.map_snapshot(
                         mas.sys, server=mas.server, max_points=4000))
                 except Exception:
                     pass
                 map_stop.wait(1.0)
 
-        threading.Thread(target=map_view_loop, daemon=True).start()
+        map_thread = threading.Thread(target=map_view_loop, daemon=True)
+        map_thread.start()
 
     if args.demo:
         def camera_client():
@@ -190,6 +195,11 @@ ORBextractor.minThFAST: 7
               f"(pushed {buf.n_pushed}, dropped {buf.n_dropped}) "
               f"state={mas.sys.agents[aid].state}")
     map_stop.set()
+    if args.live_port is not None:
+        # join so the renderer isn't mid-native-call (jax/matplotlib)
+        # when the interpreter tears down — a C++ thread killed there
+        # aborts with "FATAL: exception not rethrown"
+        map_thread.join(timeout=5.0)
     if ingest is not None:
         ingest.close()
     if live is not None:

@@ -90,6 +90,78 @@ def _map_figure(system, server=None, max_points: int = 20000,
     return fig
 
 
+def map_snapshot(system, server=None, max_points: int = 4000,
+                 max_covis: int = 400) -> dict:
+    """JSON-serializable 3D snapshot of the atlas for the interactive
+    browser viewer (``MjpegServer`` ``/map3d``) — the rotatable-window
+    counterpart of the reference's Pangolin MapDrawer
+    (src/MapDrawer.cc:1-419: points, KF frusta, covisibility graph,
+    trajectories, all re-drawn each render tick).
+
+    ``points`` [N,3] + per-point map id; ``segs`` [M,6] precomputed line
+    segments (frusta, covisibility edges, trajectories) + per-segment
+    color class (0 = covis, 1 = KF frustum, 2+a = agent-a trajectory),
+    so the client only rotates/projects/draws.
+    """
+    ms = system.ms
+    mp_valid = np.asarray(ms.mp_valid)
+    pos = np.asarray(ms.mp_pos)[mp_valid]
+    pmap = np.asarray(ms.mp_map)[mp_valid]
+    if len(pos) > max_points:
+        idx = np.linspace(0, len(pos) - 1, max_points).astype(int)
+        pos, pmap = pos[idx], pmap[idx]
+
+    T_wc = lie.se3_inverse(lie.SE3(ms.kf_q, ms.kf_t))
+    C = np.asarray(T_wc.t)
+    Rwc = np.asarray(lie.quat_to_matrix(T_wc.q))
+    kf_valid = np.asarray(ms.kf_valid)
+
+    span = 1.0
+    if len(pos) > 3:
+        span = float(np.median(np.linalg.norm(
+            pos - np.median(pos, axis=0), axis=1))) * 2.0 + 1e-6
+
+    segs, scls = [], []
+
+    # KF frusta: camera center to the 4 image-plane corners + the rect
+    # (reference MapDrawer::DrawKeyFrames draws the same 8 GL lines)
+    w = 0.06 * span
+    h, z = 0.045 * span, 0.075 * span
+    corners_c = np.array([[w, h, z], [w, -h, z], [-w, -h, z], [-w, h, z]],
+                         np.float32)
+    for k in np.flatnonzero(kf_valid):
+        cw = (Rwc[k] @ corners_c.T).T + C[k]
+        for i in range(4):
+            segs.append(np.concatenate([C[k], cw[i]]))
+            segs.append(np.concatenate([cw[i], cw[(i + 1) % 4]]))
+            scls += [1, 1]
+
+    covis = np.asarray(ms.covis)
+    ii, jj = np.where(np.triu(covis, 1) >= 30)
+    for i, j in zip(ii[:max_covis], jj[:max_covis]):
+        if kf_valid[i] and kf_valid[j]:
+            segs.append(np.concatenate([C[i], C[j]]))
+            scls.append(0)
+
+    for a in system.agents:
+        traj = system.trajectory_world(a.agent_id)
+        pts = np.array([t for _, _, t, st in traj if st == 2], np.float32)
+        for p, q in zip(pts[:-1], pts[1:]):
+            segs.append(np.concatenate([p, q]))
+            scls.append(2 + a.agent_id)
+
+    rnd = lambda arr, nd=4: np.round(np.asarray(arr, np.float64), nd)
+    return {
+        "points": rnd(pos).tolist(),
+        "pmap": np.asarray(pmap, int).tolist(),
+        "segs": rnd(np.array(segs).reshape(-1, 6)).tolist(),
+        "scls": [int(c) for c in scls],
+        "span": round(span, 4),
+        "stats": {"kfs": int(kf_valid.sum()), "mps": int(mp_valid.sum()),
+                  "agents": len(system.agents)},
+    }
+
+
 _STATE_TEXT = {0: "WAITING FOR IMAGES", 1: "TRYING TO INITIALIZE",
                2: "SLAM", 3: "RECENTLY LOST", 4: "LOST"}
 

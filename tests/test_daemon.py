@@ -198,6 +198,91 @@ def test_mjpeg_map_view():
     assert data.count(b"\xff\xd8") >= 2
 
 
+def _http_get(port, path):
+    sock = socket.create_connection(("127.0.0.1", port), timeout=5)
+    sock.sendall(f"GET {path} HTTP/1.0\r\n\r\n".encode())
+    sock.settimeout(5.0)
+    data = b""
+    try:
+        while True:
+            chunk = sock.recv(65536)
+            if not chunk:
+                break
+            data += chunk
+    except socket.timeout:
+        pass
+    sock.close()
+    return data
+
+
+def test_interactive_map3d_page_and_data():
+    """/map3d serves the self-contained interactive viewer page and
+    /mapdata the JSON snapshot it polls (reference interactive Pangolin
+    map window, src/MapDrawer.cc:1-419 + src/Viewer.cc mouse handlers)."""
+    import json
+
+    from mam3slam_tpu.geometry import cameras
+    from mam3slam_tpu.io import viewer
+    from mam3slam_tpu.slam.system import SlamConfig, SlamSystem
+
+    cfg = SlamConfig(width=64, height=64, n_feat=64, max_kf=8,
+                     max_mp=256, n_levels=2)
+    sys_ = SlamSystem(cfg, cameras.make_pinhole(40.0, 40.0, 32.0, 32.0))
+    sys_.add_agent()
+    snap = viewer.map_snapshot(sys_)
+    # snapshot is JSON-serializable and carries the viewer's contract
+    json.dumps(snap)
+    assert set(snap) >= {"points", "pmap", "segs", "scls", "span", "stats"}
+
+    srv = MjpegServer()
+    try:
+        srv.publish_json("map", snap)
+        page = _http_get(srv.port, "/map3d")
+        assert b"200 OK" in page and b"text/html" in page
+        assert b"<canvas" in page and b"/mapdata" in page
+        # fully self-contained: no external script/style references
+        assert b"http://" not in page.split(b"\r\n\r\n", 1)[1]
+        assert b"https://" not in page
+
+        raw = _http_get(srv.port, "/mapdata")
+        assert b"application/json" in raw
+        body = raw.split(b"\r\n\r\n", 1)[1]
+        parsed = json.loads(body)
+        assert parsed["stats"]["agents"] == 1
+        assert isinstance(parsed["points"], list)
+
+        # index page links the interactive view once data is published
+        idx = _http_get(srv.port, "/")
+        assert b"/map3d" in idx
+    finally:
+        srv.close()
+
+
+def test_map_snapshot_contents():
+    """After a tracked sequence the snapshot carries points, KF frusta
+    segments (8 per KF) and trajectory segments."""
+    from mam3slam_tpu.geometry import cameras
+    from mam3slam_tpu.io import viewer
+    from mam3slam_tpu.slam.system import SlamConfig, SlamSystem
+
+    frames, world = _make_frames(30)
+    cfg = SlamConfig(width=W, height=H, n_feat=N_FEAT, max_kf=64,
+                     max_mp=4096, n_levels=4, min_init_matches=60)
+    sys_ = SlamSystem(cfg, cameras.make_pinhole(FX, FY, CX, CY))
+    aid = sys_.add_agent()
+    for ts, f in frames:
+        sys_.track(aid, f, ts)
+    snap = viewer.map_snapshot(sys_)
+    assert snap["stats"]["kfs"] >= 2 and snap["stats"]["mps"] > 50
+    assert len(snap["points"]) == len(snap["pmap"])
+    assert len(snap["segs"]) == len(snap["scls"])
+    # every valid KF contributes 8 frustum segments (class 1)
+    n_frusta = sum(1 for c in snap["scls"] if c == 1)
+    assert n_frusta == 8 * snap["stats"]["kfs"]
+    # trajectory segments exist for agent 0 (class 2)
+    assert any(c == 2 for c in snap["scls"])
+
+
 def test_draw_map_image_shape():
     """draw_map_image returns a BGR uint8 ndarray of the live 3D map
     (points + KFs + trajectories) without touching the filesystem."""
