@@ -619,8 +619,31 @@ class LoopServer:
         q0 = jnp.asarray(q_all)
         t0 = jnp.asarray(t_all)
         s0 = jnp.asarray(s_all)
-        q_n, t_n, s_n = pgo_mod.optimize_essential_graph(
-            q0, t0, s0, jnp.asarray(fixed), edges, iters=12)
+        # inertial maps: roll/pitch are observable from gravity and the
+        # map is metric, so the essential graph optimizes only yaw +
+        # translation with scale held at 1 (reference
+        # Optimizer::OptimizeEssentialGraph4DoF, Optimizer.cc:5299, via
+        # the inertial LoopClosing branch LoopClosing.cc:2918-2934 —
+        # commented out there, wired here).  Gate mirrors
+        # pMap->IsInertial() && pMap->GetIniertialBA2(): any agent whose
+        # VI initialization belongs to this map.
+        inertial_agent = next(
+            (a for a in sysm.agents
+             if a.imu_initialized and a.imu_init_map == kf_map), None)
+        inertial = inertial_agent is not None
+        if inertial:
+            # yaw axis = map-frame UP (our maps are not re-rotated after
+            # VI init; gravity lives in agent.gravity_w)
+            g = inertial_agent.gravity_w
+            axis = (None if g is None
+                    else -np.asarray(g) / np.linalg.norm(g))
+            q_n, t_n = pgo_mod.optimize_essential_graph_4dof(
+                q0, t0, jnp.asarray(fixed), edges, iters=12,
+                gravity_axis=axis)
+            s_n = jnp.ones(K)
+        else:
+            q_n, t_n, s_n = pgo_mod.optimize_essential_graph(
+                q0, t0, s0, jnp.asarray(fixed), edges, iters=12)
 
         # map points: correct through reference KF before/after
         mp_mask = jnp.asarray(np.asarray(ms.mp_valid)
@@ -659,7 +682,7 @@ class LoopServer:
         ms = sysm.ms
         self.events.append(
             f"LOOP agent={agent_id} kf={kf} target={h.target_kf} "
-            f"map={kf_map}")
+            f"map={kf_map}" + (" pgo=4dof" if inertial else ""))
         self.timers.add("LC", (_time.perf_counter() - _t0) * 1e3)
 
     # ------------------------------------------------------------------

@@ -142,3 +142,57 @@ def test_loop_in_multimap_atlas_skips_gba():
     assert loops, f"no loop closure; events={srv.events}"
     assert srv.gba_runs == [], \
         f"GBA ran in a multi-map atlas: {srv.gba_runs}"
+
+
+def test_loop_closure_inertial_uses_4dof_pgo():
+    """An IMU-initialized map closes its loop through the 4DoF essential
+    graph (yaw about gravity + translation, scale held metric) —
+    reference Optimizer::OptimizeEssentialGraph4DoF (Optimizer.cc:5299)
+    reached via the inertial LoopClosing branch (LoopClosing.cc:2918-2934,
+    commented out there; wired here behind the same
+    IsInertial/GetIniertialBA2-style gate).  Accuracy must match the
+    Sim3 path on this metric, gravity-aligned tour."""
+    world = RingWorld(seed=2)
+    cam = cameras.make_pinhole(FX, FY, CX, CY)
+    cfg = SlamConfig(width=W, height=H, n_feat=N_FEAT, max_kf=128,
+                     max_mp=8192, n_levels=4, kf_max_interval=8,
+                     min_init_matches=60)
+    sys_ = SlamSystem(cfg, cam)
+    aid = sys_.add_agent()
+    srv = LoopServer(sys_, ServerConfig(min_kfs_in_map=10, vocab_k=8,
+                                        vocab_depth=3))
+    sys_.server = srv
+
+    n_frames = 230
+    poses = circle_tour(n_frames)
+    states = []
+    for i, (R, t) in enumerate(poses):
+        if i == 40:
+            # mark the map inertial, as a completed VI init would: the
+            # camera tours the y=0 plane, so map-frame gravity is -y
+            a = sys_.agents[aid]
+            a.imu_initialized = True
+            a.imu_init_map = a.map_id
+            a.gravity_w = np.array([0.0, -9.81, 0.0])
+        f, _ = world.render(R, t)
+        st, _ = sys_.track(aid, f, float(i))
+        states.append(st)
+
+    loops = [e for e in srv.events if e.startswith("LOOP")]
+    assert loops, f"no loop closure; events={srv.events}"
+    assert all("pgo=4dof" in e for e in loops), loops
+
+    ok_frac = np.mean([s == OK for s in states[states.index(OK):]])
+    assert ok_frac > 0.9, ok_frac
+    traj = sys_.trajectory_world(aid)
+    est, gt = [], []
+    for (ts, qw, tw, st) in traj:
+        if st != OK:
+            continue
+        R, t = poses[int(ts)]
+        est.append(tw)
+        gt.append(-R.T @ t)
+    est, gt = np.array(est), np.array(gt)
+    aligned = umeyama_align(est, gt)
+    ate = np.sqrt(((aligned - gt) ** 2).sum(axis=1).mean())
+    assert ate < 0.4, ate
