@@ -168,6 +168,93 @@ def save_all(system, server, out_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# legacy single-agent facade formats (reference src/System.cc:593-1276;
+# excluded from the reference build but part of its feature surface —
+# SURVEY.md §1 "legacy layer") so standard evaluation tools (evo,
+# TUM/KITTI scripts) consume our runs directly.
+# ---------------------------------------------------------------------------
+
+def _frame_poses_wc(system, agent_id: int):
+    """Resolve each OK-tracked frame of one agent to a world-frame
+    camera pose (same spanning-tree walk as :func:`save_trajectory`).
+    Yields ``(ts, t_wc[3], q_wxyz[4], R_wc[3,3])``."""
+    import jax.numpy as jnp
+
+    a = system.agents[agent_id]
+    kf_q = np.asarray(system.ms.kf_q)
+    kf_t = np.asarray(system.ms.kf_t)
+    for ts, ref, q_rel, t_rel, st in a.trajectory:
+        if st != 2:
+            continue
+        ref2, T_rel = system.resolve_ref(ref, q_rel, t_rel)
+        T_ref = lie.SE3(jnp.asarray(kf_q[ref2]), jnp.asarray(kf_t[ref2]))
+        T_wc = lie.se3_inverse(lie.se3_compose(T_rel, T_ref))
+        q = np.asarray(T_wc.q)
+        t = np.asarray(T_wc.t)
+        R = np.asarray(lie.quat_to_matrix(T_wc.q))
+        yield float(ts), t, q, R
+
+
+def save_trajectory_tum(system, agent_id: int, path: str):
+    """Per-frame trajectory in TUM-RGBD format ``ts tx ty tz qx qy qz
+    qw`` (reference System::SaveTrajectoryTUM, src/System.cc:593-651).
+    The legacy facade refuses this for monocular sensors because of the
+    free gauge scale; we emit it anyway — monocular evaluation then
+    requires Sim3 alignment (exactly what :func:`ate_rmse` and ``evo``'s
+    ``-as`` do)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        for ts, t, q, _ in _frame_poses_wc(system, agent_id):
+            f.write(_fmt_pose_row(ts, t, q))
+
+
+def save_kf_trajectory_tum(system, path: str, map_id=None):
+    """Keyframe trajectory in TUM format, timestamp-ordered (reference
+    System::SaveKeyFrameTrajectoryTUM, src/System.cc:653-684).
+    ``map_id`` restricts to one map (the facade's per-map variant)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    ms = system.ms
+    valid = np.asarray(ms.kf_valid)
+    if map_id is not None:
+        valid = valid & (np.asarray(ms.kf_map) == map_id)
+    T_wc = lie.se3_inverse(lie.SE3(ms.kf_q, ms.kf_t))
+    q = np.asarray(T_wc.q)
+    t = np.asarray(T_wc.t)
+    ts = np.asarray(ms.kf_ts)
+    idx = np.where(valid)[0]
+    idx = idx[np.argsort(ts[idx], kind="stable")]
+    with open(path, "w") as f:
+        for k in idx:
+            f.write(_fmt_pose_row(ts[k], t[k], q[k]))
+
+
+def save_trajectory_kitti(system, agent_id: int, path: str):
+    """Per-frame trajectory in KITTI odometry format — 12 floats per
+    row, the top 3x4 of ``[R_wc | t_wc]`` with the FIRST keyframe moved
+    to the origin (reference System::SaveTrajectoryKITTI,
+    src/System.cc:1230-1276: ``Trw = Trw * Tref_cw * Two``). Same
+    monocular-scale caveat as :func:`save_trajectory_tum`."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    ms = system.ms
+    valid = np.where(np.asarray(ms.kf_valid))[0]
+    rows = []
+    if len(valid):
+        k0 = valid[np.argmin(np.asarray(ms.kf_ts)[valid])]
+        T0_wc = lie.se3_inverse(lie.SE3(ms.kf_q[k0], ms.kf_t[k0]))
+        R0 = np.asarray(lie.quat_to_matrix(T0_wc.q))
+        t0 = np.asarray(T0_wc.t)
+        for _, t, _, R in _frame_poses_wc(system, agent_id):
+            # T_0c = T0_cw * T_wc  (first KF at origin)
+            R_0c = R0.T @ R
+            t_0c = R0.T @ (t - t0)
+            v = np.concatenate(
+                [np.concatenate([R_0c[i], t_0c[i:i + 1]]) for i in range(3)])
+            rows.append(" ".join(f"{x:.9f}" for x in v) + "\n")
+    with open(path, "w") as f:
+        f.writelines(rows)
+
+
+# ---------------------------------------------------------------------------
 # evaluation
 # ---------------------------------------------------------------------------
 

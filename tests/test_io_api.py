@@ -94,6 +94,42 @@ def test_writers_full_artifact_set(tmp_path):
         assert len(f.readline().split()) == 10
 
 
+def test_writers_legacy_formats(tmp_path):
+    """TUM / KITTI facade exporters (reference System.cc:593-1276):
+    row shapes, timestamp ordering, orthonormal KITTI rotations, and
+    first-KF-at-origin normalization."""
+    import sys as _sys
+    _sys.path.insert(0, os.path.dirname(__file__))
+    from test_slam_e2e import run_slam
+
+    sys_, aid, poses, states = run_slam(n_frames=30, seed=7)
+
+    tum = str(tmp_path / "traj_tum.txt")
+    writers.save_trajectory_tum(sys_, aid, tum)
+    rows = [l.split() for l in open(tum)]
+    assert rows and all(len(r) == 8 for r in rows)
+    q = np.array([[float(v) for v in r[4:8]] for r in rows])
+    assert np.allclose(np.linalg.norm(q, axis=1), 1, atol=1e-4)
+
+    kf_tum = str(tmp_path / "kf_tum.txt")
+    writers.save_kf_trajectory_tum(sys_, kf_tum)
+    krows = [l.split() for l in open(kf_tum)]
+    assert krows and all(len(r) == 8 for r in krows)
+    ts = np.array([float(r[0]) for r in krows])
+    assert np.all(np.diff(ts) >= 0)  # timestamp-sorted like the facade
+
+    kitti = str(tmp_path / "traj_kitti.txt")
+    writers.save_trajectory_kitti(sys_, aid, kitti)
+    mrows = np.array([[float(v) for v in l.split()] for l in open(kitti)])
+    assert mrows.shape[1] == 12 and len(mrows) == len(rows)
+    P = mrows.reshape(-1, 3, 4)
+    R, t = P[:, :, :3], P[:, :, 3]
+    assert np.allclose(R @ np.swapaxes(R, 1, 2),
+                       np.eye(3)[None], atol=1e-4)  # orthonormal
+    # the frame taken at the first keyframe's pose sits at the origin
+    assert np.min(np.linalg.norm(t, axis=1)) < 0.05
+
+
 def test_viewer_renders(tmp_path):
     import sys as _sys
     _sys.path.insert(0, os.path.dirname(__file__))
